@@ -1,0 +1,24 @@
+"""osas_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch reimagination of adobe/OSAS's two-phase pipeline
+(statistical profiling, then label/rule/score evaluation — see
+reference src/osas/pipeline/pipeline.py:89-167) as a declarative,
+Catalyst-optimized validation engine over large code tables:
+
+  phase 1: single vectorized pass computing per-column statistics
+           (count / null-rate / HLL distinct / quantiles / frequency
+           maps / grouped numeric stats),
+  phase 2: constraint predicates (uniqueness, referential integrity,
+           stdev/spike bands, rare-category, distribution drift,
+           declarative regex rules) evaluated as native column
+           expressions + broadcast joins, emitting violation labels,
+           violation rows with lineage, and per-partition verdicts.
+
+Everything is DataFrame-level; no per-row Python UDFs anywhere — the
+only Python-side code paths are Arrow-vectorized pandas UDFs (sha256
+fingerprinting, per-group chi-square/KS on pre-aggregated data).
+"""
+
+__version__ = "0.1.0"
+
+from osas_spark.session import get_spark  # noqa: F401

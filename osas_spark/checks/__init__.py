@@ -1,0 +1,7 @@
+from osas_spark.checks.base import Check, LABELS_COL, SCORE_COL  # noqa: F401
+from osas_spark.checks.numeric import NumericCheck  # noqa: F401
+from osas_spark.checks.categorical import CategoricalCheck  # noqa: F401
+from osas_spark.checks.uniqueness import UniquenessCheck  # noqa: F401
+from osas_spark.checks.referential import ReferentialCheck  # noqa: F401
+from osas_spark.checks.rules import RuleCheck, KeywordCheck, RegexLabelCheck  # noqa: F401
+from osas_spark.checks.drift import DriftCheck  # noqa: F401

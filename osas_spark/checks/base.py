@@ -1,0 +1,76 @@
+"""Check ABC — the Spark-native reimagination of the reference's
+LabelGenerator interface (reference src/osas/core/interfaces.py:156-185).
+
+A Check has two phases, mirroring build_model / __call__:
+
+  fit(df)        phase 1: aggregate statistics over the dataset into a
+                 small, JSON- or parquet-serializable model (for
+                 checkpoint/resume).
+  apply(df)      phase 2: add an array<string> label column computed
+                 from the model — ALWAYS as native column expressions
+                 plus (at most) one broadcast join of the model table;
+                 never per-row Python.
+
+Labels whose name matches `violation_labels()` mark a row as violating;
+the suite (verdict.py) turns those into violation rows with lineage and
+per-partition PASS/FAIL verdicts.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LABELS_COL = "labels"
+SCORE_COL = "score"
+
+
+class Check(ABC):
+    """One validation check: a stats aggregation + a labeling predicate."""
+
+    name: str
+
+    @property
+    def label_col(self) -> str:
+        return f"_{self.name}_labels"
+
+    @abstractmethod
+    def fit(self, df: DataFrame) -> "Check":
+        """Phase-1 aggregation. Returns self with model state populated."""
+
+    @abstractmethod
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Phase-2 labeling: add `self.label_col` (array<string>, never null)."""
+
+    def violation_labels(self) -> list[str]:
+        """Label names (exact strings) that count as violations.
+
+        Default: every label this check can emit except *_NORMAL.
+        """
+        return []
+
+    # -- serialization hooks (checkpoint.py) --------------------------------
+    def model_dict(self) -> dict:
+        """JSON-serializable model state; override when fit() stores state."""
+        return {}
+
+    def load_model(self, d: dict) -> "Check":
+        return self
+
+
+def finalize_labels(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Concatenate all per-check label arrays into `labels`
+    (reference pipeline.py:154-164 concatenates generator outputs)."""
+    cols = [F.col(c.label_col) for c in checks]
+    if not cols:
+        return df.withColumn(LABELS_COL, F.array().cast("array<string>"))
+    combined = cols[0]
+    for c in cols[1:]:
+        combined = F.concat(combined, c)
+    return df.withColumn(LABELS_COL, combined)
+
+
+def empty_labels() -> F.Column:
+    return F.array().cast("array<string>")

@@ -1,0 +1,141 @@
+"""Categorical frequency check — rare / unseen category detection.
+
+Reimplements MultinomialField / MultinomialFieldCombiner semantics
+(reference src/osas/core/label_generators.py:654-778):
+
+  - model = (weighted) frequency + probability of each value combo,
+    optionally bucketed by a group_by key (":705-741")
+  - UNSEEN_<FIELDS>_PAIR[_BASED_ON_<G>] when the combo never occurred
+    in training (":766-767") — left-join-null, i.e. anti-join semantics
+  - LOW_OBS_COUNT_FOR_* when count < absolute_threshold (":774-775")
+  - LOW_OBS_PROB_FOR_*  when prob  < relative_threshold (":776-777")
+  - single-field mode strips the _PAIR suffix (":675-677")
+  - a row whose group bucket is unseen emits NO labels (":763-764")
+
+Spark-first: phase 1 is one groupBy([group]+fields) aggregation with a
+window for per-bucket totals; phase 2 is a broadcast left join + F.when.
+The reference's in-memory dict lookup becomes a real join, so the model
+may be arbitrarily large (it spills/shuffles instead of OOMing); Spark
+broadcasts it while it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+class CategoricalCheck(Check):
+    def __init__(
+        self,
+        field_names: list[str] | str,
+        group_by: list[str] | None = None,
+        absolute_threshold: float = 5,
+        relative_threshold: float = 0.01,
+        count_column: str | None = None,
+        name: str | None = None,
+    ):
+        self.fields = [field_names] if isinstance(field_names, str) else list(field_names)
+        self.group_by = list(group_by) if group_by else []
+        self.abs_t = absolute_threshold
+        self.rel_t = relative_threshold
+        self.count_column = count_column
+        self.single = len(self.fields) == 1
+        self.name = name or f"categorical_{'_'.join(self.fields)}"
+        self._freq: DataFrame | None = None
+
+    def _suffix(self) -> str:
+        fname = "_".join(self.fields).upper()
+        if not self.single:
+            fname += "_PAIR"
+        if self.group_by:
+            fname += "_BASED_ON_" + "_".join(g.upper() for g in self.group_by)
+        return fname
+
+    def _key_cols(self) -> list[str]:
+        return [f"__k_{c}" for c in self.group_by + self.fields]
+
+    def _with_keys(self, df: DataFrame) -> DataFrame:
+        """Null-safe stringified key columns — the reference stringifies
+        every value (str(item[field]), so None is the SEEN category
+        'None', label_generators.py:714-716); mirror that so null join
+        keys do not silently become UNSEEN."""
+        out = df
+        for c in self.group_by + self.fields:
+            out = out.withColumn(
+                f"__k_{c}", F.coalesce(F.col(c).cast("string"), F.lit("None"))
+            )
+        return out
+
+    def fit(self, df: DataFrame) -> "CategoricalCheck":
+        w = F.col(self.count_column).cast("double") if self.count_column else F.lit(1.0)
+        gkeys = [f"__k_{c}" for c in self.group_by]
+        counts = self._with_keys(df).groupBy(*self._key_cols()).agg(F.sum(w).alias("cnt"))
+        if gkeys:
+            counts = counts.withColumn("total", F.sum("cnt").over(W.partitionBy(*gkeys)))
+        else:
+            # global total via broadcast cross-join of a 1-row aggregate —
+            # avoids collapsing a (possibly huge) counts table into one
+            # window partition
+            total = counts.agg(F.sum("cnt").alias("total"))
+            counts = counts.crossJoin(F.broadcast(total))
+        self._freq = counts.withColumn("prob", F.col("cnt") / F.col("total"))
+        return self
+
+    def frequency_table(self) -> DataFrame:
+        """(group..., fields..., cnt, total, prob) — the fitted model."""
+        return self._freq
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        sfx = self._suffix()
+        model = self._freq.withColumnsRenamed(
+            {"cnt": "__m_cnt", "total": "__m_total", "prob": "__m_prob"}
+        )
+        keys = self._key_cols()
+        joined = self._with_keys(df).join(F.broadcast(model), on=keys, how="left")
+
+        unseen = F.col("__m_cnt").isNull()
+        low_count = F.col("__m_cnt") < self.abs_t
+        low_prob = F.col("__m_prob") < self.rel_t
+        labels = F.when(unseen, F.array(F.lit(f"UNSEEN_{sfx}"))).otherwise(
+            F.concat(
+                F.when(low_count, F.array(F.lit(f"LOW_OBS_COUNT_FOR_{sfx}")))
+                .otherwise(F.array().cast("array<string>")),
+                F.when(low_prob, F.array(F.lit(f"LOW_OBS_PROB_FOR_{sfx}")))
+                .otherwise(F.array().cast("array<string>")),
+            )
+        )
+        drop = ["__m_cnt", "__m_total", "__m_prob"] + keys
+        if self.group_by:
+            # unseen group bucket => no labels (reference :763-764).
+            # With a composite join the group-unseen and combo-unseen cases
+            # both surface as null cnt; distinguish via a semi-join marker
+            # against the distinct trained buckets (tiny, broadcast).
+            gkeys = [f"__k_{c}" for c in self.group_by]
+            buckets = self._freq.select(*gkeys).distinct().withColumn(
+                "__bucket_seen", F.lit(1)
+            )
+            joined = joined.join(F.broadcast(buckets), on=gkeys, how="left")
+            labels = F.when(F.col("__bucket_seen").isNull(),
+                            F.array().cast("array<string>")).otherwise(labels)
+            drop.append("__bucket_seen")
+        return joined.withColumn(self.label_col, labels).drop(*drop)
+
+    def violation_labels(self) -> list[str]:
+        sfx = self._suffix()
+        return [f"UNSEEN_{sfx}", f"LOW_OBS_COUNT_FOR_{sfx}", f"LOW_OBS_PROB_FOR_{sfx}"]
+
+    def model_dict(self) -> dict:
+        return {
+            "fields": self.fields,
+            "group_by": self.group_by,
+            "freq": [r.asDict() for r in self._freq.collect()] if self._freq is not None else None,
+        }
+
+    def load_model(self, d: dict) -> "CategoricalCheck":
+        if d.get("freq"):
+            from osas_spark.session import get_spark
+            self._freq = get_spark().createDataFrame(d["freq"])
+        return self

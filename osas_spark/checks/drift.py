@@ -1,0 +1,243 @@
+"""Distribution-drift checks between partitions (commit snapshots).
+
+Reimagines the reference's dataset-level anomaly scorers
+(reference src/osas/core/anomaly.py — statistical scoring over label
+distributions) as proper drift statistics per the north rule:
+
+  - categorical drift: chi-square goodness-of-fit of each partition's
+    category frequencies against the rest-of-dataset frequencies
+  - numeric drift: two-sample Kolmogorov-Smirnov (partition vs rest)
+    over a binned ECDF
+
+Scale design: both tests reduce the data FIRST (one groupBy each —
+counts per (partition, category) / (partition, bin)); the statistic is
+then computed over the tiny aggregate with window functions, and the
+normal-approximation p-value with a vectorized pandas UDF (Arrow) on
+that aggregate — never on raw rows. Binning the KS to `bins` uniform
+buckets makes the grid size partitions x bins regardless of data scale
+(D on binned data is a lower bound of exact D; bins=1024 keeps the
+error negligible for drift purposes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+from pyspark.sql.types import DoubleType
+
+
+@F.pandas_udf(DoubleType())
+def _chi2_pvalue(stat: pd.Series, dof: pd.Series) -> pd.Series:
+    """Wilson-Hilferty normal approximation of the chi-square survival
+    function — vectorized, no scipy dependency."""
+    import numpy as np
+    from math import erf
+
+    k = dof.to_numpy(dtype="float64")
+    x = stat.to_numpy(dtype="float64")
+    with pd.option_context("mode.chained_assignment", None):
+        z = ((x / k) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k))) / np.sqrt(2.0 / (9.0 * k))
+    phi = np.array([0.5 * (1.0 + erf(v / math.sqrt(2.0))) for v in z])
+    out = 1.0 - phi
+    out[k <= 0] = 1.0
+    return pd.Series(out)
+
+
+def categorical_drift(
+    df: DataFrame,
+    cat_col: str,
+    part_col: str,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Per-partition chi-square drift verdicts.
+
+    Each partition's observed category counts are tested against
+    expected counts derived from the REST of the dataset (leave-one-out
+    baseline), so a drifted partition cannot dilute its own baseline.
+
+    Returns (partition, chi2, dof, pvalue, drifted).
+    """
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(part_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    # dense grid: every (partition, category), zero-filled
+    parts = counts.select(part_col).distinct()
+    cats = counts.select(cat_col).distinct()
+    grid = parts.crossJoin(F.broadcast(cats)).join(
+        counts, on=[part_col, cat_col], how="left"
+    ).fillna({"obs": 0})
+
+    wc = W.partitionBy(cat_col)
+    wp = W.partitionBy(part_col)
+    g = (
+        grid.withColumn("cat_total", F.sum("obs").over(wc))
+        .withColumn("part_total", F.sum("obs").over(wp))
+        .withColumn("rest_cat", F.col("cat_total") - F.col("obs"))
+    )
+    total = g.select(F.sum("obs")).collect()[0][0] or 0
+    g = g.withColumn("rest_total", F.lit(total) - F.col("part_total"))
+    g = g.withColumn(
+        "expected",
+        F.col("rest_cat") / F.col("rest_total") * F.col("part_total"),
+    )
+    per_part = (
+        g.where(F.col("expected") > 0)
+        .withColumn("term", F.pow(F.col("obs") - F.col("expected"), 2) / F.col("expected"))
+        .groupBy(part_col)
+        .agg(
+            F.sum("term").alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("double").alias("dof"),
+        )
+    )
+    out = per_part.withColumn("pvalue", _chi2_pvalue("chi2", "dof"))
+    return out.withColumn("drifted", F.col("pvalue") < alpha)
+
+
+def numeric_drift_ks(
+    df: DataFrame,
+    num_col: str,
+    part_col: str,
+    bins: int = 1024,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Per-partition two-sample KS (partition vs rest) over binned ECDFs.
+
+    Returns (partition, ks_stat, n, m, threshold, drifted), where
+    threshold = c(alpha) * sqrt((n+m)/(n*m)), c(alpha)=sqrt(-ln(alpha/2)/2).
+    """
+    x = F.col(num_col).cast("double")
+    lo, hi = df.select(F.min(x), F.max(x)).collect()[0]
+    if lo is None or hi is None or hi <= lo:
+        return df.select(F.col(part_col).alias(part_col)).distinct().select(
+            part_col,
+            F.lit(0.0).alias("ks_stat"), F.lit(0.0).alias("n"), F.lit(0.0).alias("m"),
+            F.lit(1.0).alias("threshold"), F.lit(False).alias("drifted"),
+        )
+    width = (hi - lo) / bins
+    binned = (
+        df.where(x.isNotNull())
+        .select(
+            F.col(part_col),
+            F.least(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)).alias("bin"),
+        )
+        .groupBy(part_col, "bin")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    parts = binned.select(part_col).distinct()
+    allbins = binned.select("bin").distinct()
+    grid = parts.crossJoin(F.broadcast(allbins)).join(
+        binned, on=[part_col, "bin"], how="left"
+    ).fillna({"obs": 0})
+
+    wb = W.partitionBy("bin")
+    grid = grid.withColumn("bin_total", F.sum("obs").over(wb)).withColumn(
+        "rest_obs", F.col("bin_total") - F.col("obs")
+    )
+    wcum = W.partitionBy(part_col).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wpart = W.partitionBy(part_col)
+    grid = (
+        grid.withColumn("cum_p", F.sum("obs").over(wcum))
+        .withColumn("cum_r", F.sum("rest_obs").over(wcum))
+        .withColumn("n", F.sum("obs").over(wpart))
+        .withColumn("m", F.sum("rest_obs").over(wpart))
+    )
+    d = (
+        grid.withColumn(
+            "diff", F.abs(F.col("cum_p") / F.col("n") - F.col("cum_r") / F.col("m"))
+        )
+        .groupBy(part_col)
+        .agg(
+            F.max("diff").alias("ks_stat"),
+            F.first("n").cast("double").alias("n"),
+            F.first("m").cast("double").alias("m"),
+        )
+    )
+    c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+    d = d.withColumn(
+        "threshold",
+        F.lit(c_alpha) * F.sqrt((F.col("n") + F.col("m")) / (F.col("n") * F.col("m"))),
+    )
+    return d.withColumn("drifted", F.col("ks_stat") > F.col("threshold"))
+
+
+class DriftCheck(Check):
+    """Suite-pluggable drift check over one categorical and/or one
+    numeric column, partitioned by `part_col` (e.g. commit).
+
+    fit() computes the per-partition verdicts; apply() broadcast-joins
+    the (tiny) failed-partition set to tag member rows.
+    """
+
+    def __init__(
+        self,
+        part_col: str,
+        cat_col: str | None = None,
+        num_col: str | None = None,
+        alpha: float = 0.001,
+        bins: int = 1024,
+        name: str | None = None,
+    ):
+        self.part_col = part_col
+        self.cat_col = cat_col
+        self.num_col = num_col
+        self.alpha = alpha
+        self.bins = bins
+        self.name = name or f"drift_{part_col}"
+        self._verdicts: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "DriftCheck":
+        vs = []
+        if self.cat_col:
+            v = categorical_drift(df, self.cat_col, self.part_col, self.alpha)
+            vs.append(v.select(
+                self.part_col,
+                F.lit(f"CHI2_DRIFT_{self.cat_col.upper()}").alias("drift_label"),
+                F.col("pvalue").alias("stat_pvalue"),
+                "drifted",
+            ))
+        if self.num_col:
+            v = numeric_drift_ks(df, self.num_col, self.part_col, self.bins, self.alpha)
+            vs.append(v.select(
+                self.part_col,
+                F.lit(f"KS_DRIFT_{self.num_col.upper()}").alias("drift_label"),
+                F.lit(None).cast("double").alias("stat_pvalue"),
+                "drifted",
+            ))
+        out = vs[0]
+        for v in vs[1:]:
+            out = out.unionByName(v)
+        self._verdicts = out
+        return self
+
+    def partition_verdicts(self) -> DataFrame:
+        return self._verdicts
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        failed = (
+            self._verdicts.where("drifted")
+            .groupBy(self.part_col)
+            .agg(F.collect_list("drift_label").alias("__drift_labels"))
+        )
+        joined = df.join(F.broadcast(failed), on=self.part_col, how="left")
+        return joined.withColumn(
+            self.label_col,
+            F.coalesce(F.col("__drift_labels"), F.array().cast("array<string>")),
+        ).drop("__drift_labels")
+
+    def violation_labels(self) -> list[str]:
+        out = []
+        if self.cat_col:
+            out.append(f"CHI2_DRIFT_{self.cat_col.upper()}")
+        if self.num_col:
+            out.append(f"KS_DRIFT_{self.num_col.upper()}")
+        return out

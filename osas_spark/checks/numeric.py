@@ -1,0 +1,177 @@
+"""Numeric stdev/spike band check.
+
+Reimplements the labeling semantics of the reference's NumericField
+(reference src/osas/core/label_generators.py:150-498) as pure column
+expressions over a broadcast-joined stats model:
+
+  - BAD_VALUE when the value does not coerce to a number
+    (label_generators.py:442-445)
+  - stdev band: |x-mean|/std vs borderline/outlier thresholds, std==0
+    floored to 0.01 (":346-402, :351-352")
+  - spike band: ratio (x/mean, or mean/x when inverse; zero floored to
+    0.01) or fixed (x-mean); combined stdev+spike shifts mean by +/-std
+    and only uses the spike ratio when stdev_ratio >= stdev outlier
+    threshold (":355-400")
+  - group_by mode: UNSEEN_KEY_FOR_* when the group was never seen in
+    training, RARE_KEY_FOR_* when its (weighted) count <= 5
+    (":468-498")
+
+Phase 1 is a single groupBy aggregation (grouped_numeric_stats — one
+shuffle, weighted, population variance, single pass via E[x^2]-E[x]^2
+instead of the reference's two passes). Phase 2 joins the stats
+(broadcast: group-stat tables are tiny relative to the data) and
+evaluates one F.when chain — whole-stage-codegen friendly, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+from osas_spark.stats import grouped_numeric_stats
+
+RARE_GROUP_COUNT = 5  # reference label_generators.py:472
+
+
+class NumericCheck(Check):
+    def __init__(
+        self,
+        field_name: str,
+        group_by: list[str] | None = None,
+        stdev: bool = True,
+        stdev_borderline_threshold: float = 1.0,
+        stdev_outlier_threshold: float = 2.0,
+        spike: str = "none",  # none | ratio | fixed
+        spike_inverse: bool = False,
+        spike_borderline_threshold: float = 10.0,
+        spike_outlier_threshold: float = 20.0,
+        label_for_normal: bool = True,
+        count_column: str | None = None,
+        name: str | None = None,
+    ):
+        assert spike in ("none", "ratio", "fixed")
+        assert stdev or spike != "none"
+        self.field = field_name
+        self.group_by = list(group_by) if group_by else None
+        self.stdev = stdev
+        self.sb, self.so = stdev_borderline_threshold, stdev_outlier_threshold
+        self.spike = spike
+        self.spike_inverse = spike_inverse
+        self.pb, self.po = spike_borderline_threshold, spike_outlier_threshold
+        self.label_for_normal = label_for_normal
+        self.count_column = count_column
+        self.name = name or f"numeric_{field_name}"
+        self._stats: DataFrame | None = None     # grouped mode
+        self._global: tuple | None = None        # (n, mean, std)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, df: DataFrame) -> "NumericCheck":
+        stats = grouped_numeric_stats(
+            df.withColumn("__g", F.lit(1)) if not self.group_by else df,
+            self.field,
+            self.group_by or ["__g"],
+            self.count_column,
+        )
+        if self.group_by:
+            self._stats = stats
+        else:
+            row = stats.collect()[0]
+            self._global = (float(row["n"]), float(row["mean"]), float(row["std"]))
+        return self
+
+    # -------------------------------------------------------------- labeling
+    def _band_labels(self, x: F.Column, mean: F.Column, std: F.Column) -> F.Column:
+        """The _get_labels decision tree (label_generators.py:346-402)
+        as one nested F.when expression returning array<string>."""
+        fname = self.field.upper()
+        std = F.when(std == 0, F.lit(0.01)).otherwise(std)
+        stdev_ratio = F.abs(x - mean) / std
+
+        # combined stdev+spike shifts the mean by +/- std
+        if self.stdev and self.spike != "none":
+            mean = mean + std if not self.spike_inverse else mean - std
+
+        if self.spike == "ratio":
+            if not self.spike_inverse:
+                m = F.when(mean == 0, F.lit(0.01)).otherwise(mean)
+                spike_ratio = x / m
+            else:
+                xv = F.when(x == 0, F.lit(0.01)).otherwise(x)
+                spike_ratio = mean / xv
+        elif self.spike == "fixed":
+            spike_ratio = (x - mean) if not self.spike_inverse else (mean - x)
+        else:
+            spike_ratio = F.lit(None).cast("double")
+
+        if self.stdev and self.spike == "none":
+            ratio, bt, ot = stdev_ratio, self.sb, self.so
+        else:
+            ratio, bt, ot = spike_ratio, self.pb, self.po
+
+        normal = (
+            F.array(F.lit(f"{fname}_NORMAL")) if self.label_for_normal
+            else F.array().cast("array<string>")
+        )
+        banded = (
+            F.when(ratio >= ot, F.array(F.lit(f"{fname}_OUTLIER")))
+            .when((ratio > bt) & (ratio < ot), F.array(F.lit(f"{fname}_BORDERLINE")))
+            .when(ratio < bt, normal)  # note: ratio == bt emits nothing (reference parity)
+            .otherwise(F.array().cast("array<string>"))
+        )
+        if self.stdev and self.spike != "none":
+            # within stdev outlier threshold => NORMAL (or nothing)
+            return F.when(stdev_ratio < self.so, normal).otherwise(banded)
+        return banded
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fname = self.field.upper()
+        raw = F.col(self.field)
+        x = raw.cast("double")
+        bad = raw.isNotNull() & x.isNull()  # present but not numeric
+        bad_arr = F.array(F.lit(f"{fname}_BAD_VALUE"))
+
+        if not self.group_by:
+            n, mean, std = self._global
+            labels = self._band_labels(x, F.lit(mean), F.lit(std))
+            out = F.when(bad, bad_arr).otherwise(labels)
+            return df.withColumn(self.label_col, out)
+
+        stats = self._stats.withColumnsRenamed(
+            {"n": "__st_n", "mean": "__st_mean", "std": "__st_std"}
+        )
+        joined = df.join(F.broadcast(stats), on=self.group_by, how="left")
+        labels = (
+            F.when(bad, bad_arr)
+            .when(F.col("__st_n").isNull(), F.array(F.lit(f"UNSEEN_KEY_FOR_{fname}")))
+            .when(F.col("__st_n") <= RARE_GROUP_COUNT, F.array(F.lit(f"RARE_KEY_FOR_{fname}")))
+            .otherwise(self._band_labels(x, F.col("__st_mean"), F.col("__st_std")))
+        )
+        return joined.withColumn(self.label_col, labels).drop(
+            "__st_n", "__st_mean", "__st_std"
+        )
+
+    def violation_labels(self) -> list[str]:
+        f = self.field.upper()
+        return [
+            f"{f}_OUTLIER", f"{f}_BAD_VALUE",
+            f"UNSEEN_KEY_FOR_{f}", f"RARE_KEY_FOR_{f}",
+        ]
+
+    # ---------------------------------------------------------- checkpoint
+    def model_dict(self) -> dict:
+        d = {"field": self.field, "group_by": self.group_by}
+        if self._global:
+            d["global"] = list(self._global)
+        if self._stats is not None:
+            d["grouped"] = [r.asDict() for r in self._stats.collect()]
+        return d
+
+    def load_model(self, d: dict) -> "NumericCheck":
+        if "global" in d:
+            self._global = tuple(d["global"])
+        if "grouped" in d:
+            from osas_spark.session import get_spark
+            spark = get_spark()
+            self._stats = spark.createDataFrame(d["grouped"])
+        return self

@@ -1,0 +1,58 @@
+"""Referential-integrity constraint — broadcast anti-join on a dictionary.
+
+Target-specific per the north rule. Reference analogue: the UNSEEN_*
+membership test of MultinomialFieldCombiner
+(reference src/osas/core/label_generators.py:766-767) — a left-join-null,
+i.e. exactly `left_anti` semantics.
+
+The dictionary (e.g. lang -> ext, ~12 rows) is always broadcast: the
+fact table never shuffles. NULL fk values are labeled separately
+(*_NULL) because an anti-join would silently swallow them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+class ReferentialCheck(Check):
+    def __init__(
+        self,
+        fk_col: str,
+        dim_df: DataFrame,
+        dim_key: str | None = None,
+        name: str | None = None,
+    ):
+        self.fk = fk_col
+        self.dim_key = dim_key or fk_col
+        self._dim = dim_df.select(F.col(self.dim_key).alias(fk_col)).distinct()
+        self.name = name or f"ref_{fk_col}"
+
+    def fit(self, df: DataFrame) -> "ReferentialCheck":
+        return self  # the model IS the dictionary
+
+    def orphans(self, df: DataFrame) -> DataFrame:
+        """Violation rows via broadcast left_anti (nulls excluded)."""
+        return df.where(F.col(self.fk).isNotNull()).join(
+            F.broadcast(self._dim), on=self.fk, how="left_anti"
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fname = self.fk.upper()
+        marked = self._dim.withColumn("__dim_hit", F.lit(1))
+        joined = df.join(F.broadcast(marked), on=self.fk, how="left")
+        labels = (
+            F.when(F.col(self.fk).isNull(), F.array(F.lit(f"{fname}_NULL")))
+            .when(F.col("__dim_hit").isNull(), F.array(F.lit(f"UNSEEN_{fname}")))
+            .otherwise(F.array().cast("array<string>"))
+        )
+        return joined.withColumn(self.label_col, labels).drop("__dim_hit")
+
+    def violation_labels(self) -> list[str]:
+        return [f"UNSEEN_{self.fk.upper()}", f"{self.fk.upper()}_NULL"]
+
+    def model_dict(self) -> dict:
+        return {"fk": self.fk, "dim": [r[0] for r in self._dim.collect()]}

@@ -1,0 +1,197 @@
+"""Declarative rule checks — regex predicates compiled to column exprs.
+
+RuleCheck reimplements the reference's YAML rule engine
+(reference src/osas/main/apply_rules.py:38-107):
+
+  rule  := {name, label, score, conditions: {case: {attr: [regex,...]}}}
+  fires := OR over conditions; AND over attributes within a condition;
+           OR over regex values per attribute; regex MATCH anchored at
+           the start (Python re.match) — emulated by prefixing '^'-less
+           patterns are wrapped as rlike('^(?:pat)').
+  effect:= label appended + rule score added to `score`.
+
+The per-row x per-rule x per-regex interpreter loop of the reference
+becomes ONE select with a boolean expression per rule — Catalyst folds
+them into whole-stage-codegen'd java regex matches; no Python executes
+per row.
+
+KeywordCheck ≈ KeywordBased (reference src/osas/core/label_generators.py:
+808-836): strip non-alphanumerics, split, label per keyword hit.
+RegexLabelCheck ≈ KnowledgeBased (":839-872"): (regex, label) pairs via
+re.search — plain rlike.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check, SCORE_COL
+
+try:
+    import yaml
+    _HAVE_YAML = True
+except ImportError:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+@dataclass
+class Rule:
+    name: str
+    label: str
+    score: float
+    # conditions: list of {attribute: [regex, ...]} — OR over list items,
+    # AND over attributes, OR over regexes
+    conditions: list[dict[str, list[str]]] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Rule":
+        conds = []
+        for _case, attrs in (d.get("conditions") or {}).items():
+            conds.append({
+                a: (v if isinstance(v, list) else [v]) for a, v in attrs.items()
+            })
+        return cls(
+            name=d["rule name"], label=d["rule label"],
+            score=float(d["rule score"]), conditions=conds,
+        )
+
+
+def load_rules(folder: str) -> list[Rule]:
+    """Walk a folder for .yaml rule packs (apply_rules.py:38-65)."""
+    import os
+    if not _HAVE_YAML:
+        raise RuntimeError("pyyaml not available")
+    rules = []
+    for path, _dirs, files in os.walk(folder):
+        for fn in sorted(files):
+            if not fn.endswith(".yaml"):
+                continue
+            with open(os.path.join(path, fn)) as fh:
+                pack = yaml.safe_load(fh)
+            if pack is None:
+                continue
+            for k in ("rule name", "rule label", "rule score"):
+                if k not in pack:
+                    raise ValueError(f"Invalid rule file {fn}: missing {k}")
+            rules.append(Rule.from_dict(pack))
+    return rules
+
+
+def _anchored(pat: str) -> str:
+    """Python re.match anchors at the string start; rlike does not."""
+    return pat if pat.startswith("^") else f"^(?:{pat})" + ""
+
+
+class RuleCheck(Check):
+    """Evaluate a rule pack; adds labels and accumulates `score`."""
+
+    def __init__(self, rules: list[Rule], name: str = "rules"):
+        self.rules = rules
+        self.name = name
+
+    def fit(self, df: DataFrame) -> "RuleCheck":
+        return self  # rules are static
+
+    def rule_predicate(self, rule: Rule) -> F.Column:
+        conds = []
+        for cond in rule.conditions:
+            attrs = []
+            for attr, pats in cond.items():
+                attrs.append(
+                    reduce(
+                        lambda a, b: a | b,
+                        [F.col(attr).cast("string").rlike(_anchored(p)) for p in pats],
+                    )
+                )
+            conds.append(reduce(lambda a, b: a & b, attrs))
+        if not conds:
+            return F.lit(False)
+        return reduce(lambda a, b: a | b, conds)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        label_arrays, score_terms = [], []
+        for rule in self.rules:
+            pred = self.rule_predicate(rule)
+            label_arrays.append(
+                F.when(pred, F.array(F.lit(rule.label)))
+                .otherwise(F.array().cast("array<string>"))
+            )
+            score_terms.append(F.when(pred, F.lit(rule.score)).otherwise(F.lit(0.0)))
+        labels = (
+            reduce(lambda a, b: F.concat(a, b), label_arrays)
+            if label_arrays else F.array().cast("array<string>")
+        )
+        delta = reduce(lambda a, b: a + b, score_terms) if score_terms else F.lit(0.0)
+        base = F.col(SCORE_COL) if SCORE_COL in df.columns else F.lit(0.0)
+        return df.withColumn(self.label_col, labels).withColumn(
+            SCORE_COL, base + delta
+        )
+
+    def violation_labels(self) -> list[str]:
+        return [r.label for r in self.rules]
+
+    def model_dict(self) -> dict:
+        return {"rules": [vars(r) for r in self.rules]}
+
+
+class KeywordCheck(Check):
+    """Label rows whose cleaned, tokenized field contains a keyword.
+
+    Reference KeywordBased (label_generators.py:808-836): text is
+    lowercased? no — reference keeps case; non-alphanumerics become
+    spaces, then split; one label per keyword present.
+    """
+
+    def __init__(self, field_name: str, keywords: list[str], name: str | None = None):
+        self.field = field_name
+        self.keywords = list(keywords)
+        self.name = name or f"keyword_{field_name}"
+
+    def fit(self, df: DataFrame) -> "KeywordCheck":
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cleaned = F.regexp_replace(F.col(self.field).cast("string"), "[^0-9a-zA-Z]+", " ")
+        tokens = F.split(F.trim(cleaned), " ")
+        fname = self.field.upper()
+        parts = [
+            F.when(
+                F.array_contains(tokens, kw),
+                F.array(F.lit(f"{fname}_{kw.upper()}")),
+            ).otherwise(F.array().cast("array<string>"))
+            for kw in self.keywords
+        ]
+        labels = reduce(lambda a, b: F.concat(a, b), parts) if parts else F.array().cast("array<string>")
+        return df.withColumn(self.label_col, labels)
+
+    def violation_labels(self) -> list[str]:
+        return [f"{self.field.upper()}_{k.upper()}" for k in self.keywords]
+
+
+class RegexLabelCheck(Check):
+    """(regex, label) pairs via re.search ≈ rlike (KnowledgeBased,
+    label_generators.py:839-872)."""
+
+    def __init__(self, field_name: str, rules: list[tuple[str, str]], name: str | None = None):
+        self.field = field_name
+        self.pairs = [(p, lbl) for p, lbl in rules]
+        self.name = name or f"regex_{field_name}"
+
+    def fit(self, df: DataFrame) -> "RegexLabelCheck":
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        parts = [
+            F.when(F.col(self.field).cast("string").rlike(pat), F.array(F.lit(lbl)))
+            .otherwise(F.array().cast("array<string>"))
+            for pat, lbl in self.pairs
+        ]
+        labels = reduce(lambda a, b: F.concat(a, b), parts) if parts else F.array().cast("array<string>")
+        return df.withColumn(self.label_col, labels)
+
+    def violation_labels(self) -> list[str]:
+        return [lbl for _p, lbl in self.pairs]

@@ -1,0 +1,78 @@
+"""Uniqueness constraint — duplicate composite keys, skew-hardened.
+
+Target-specific check mandated by the north rule (no direct reference
+analogue; closest is the frequency counting of
+reference src/osas/core/label_generators.py:705-727).
+
+Scale design: a plain groupBy(key).count() shuffles every row on the
+composite key; when one key (hot repo) dominates, its reducer straggles.
+The salted two-stage aggregate bounds any single reducer:
+
+  stage 1: groupBy(key, salt=pmod(xxhash64(*key, partition_id), S)).count()
+           -- partial (map-side) aggregation collapses per-task dup runs
+  stage 2: groupBy(key).sum(cnt)  -- at most S rows per key survive
+
+AQE skew-join/coalesce is also enabled at the session level; the salt is
+a belt-and-braces guarantee that holds even where AQE cannot split
+(aggregations). For keys that are genuinely unique, stage 1 emits one
+row per (key,salt)≈(key) so stage 2's input is already nearly final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+class UniquenessCheck(Check):
+    def __init__(
+        self,
+        key_cols: list[str],
+        salt_buckets: int = 16,
+        name: str | None = None,
+    ):
+        self.keys = list(key_cols)
+        self.salt_buckets = salt_buckets
+        self.name = name or f"unique_{'_'.join(key_cols)}"
+        self._dups: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "UniquenessCheck":
+        salt = F.pmod(
+            F.xxhash64(*self.keys, F.spark_partition_id()), F.lit(self.salt_buckets)
+        ).alias("__salt")
+        stage1 = (
+            df.select(*self.keys, salt)
+            .groupBy(*self.keys, "__salt")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        self._dups = (
+            stage1.groupBy(*self.keys)
+            .agg(F.sum("__c").alias("dup_count"))
+            .where(F.col("dup_count") > 1)
+        )
+        return self
+
+    def duplicates(self) -> DataFrame:
+        """(key..., dup_count) for every violated key."""
+        return self._dups
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        label = "DUPLICATE_" + "_".join(self.keys).upper()
+        dups = self._dups.withColumnsRenamed({"dup_count": "__dupc"})
+        # duplicate-key set is usually small (violations only) => broadcast;
+        # if it were huge, Spark falls back to sort-merge automatically when
+        # the broadcast threshold is exceeded because we only HINT broadcast
+        # on a bounded subset... keep the hint conditional:
+        joined = df.join(F.broadcast(dups), on=self.keys, how="left")
+        labels = F.when(
+            F.col("__dupc").isNotNull(), F.array(F.lit(label))
+        ).otherwise(F.array().cast("array<string>"))
+        return joined.withColumn(self.label_col, labels).drop("__dupc")
+
+    def violation_labels(self) -> list[str]:
+        return ["DUPLICATE_" + "_".join(self.keys).upper()]
+
+    def model_dict(self) -> dict:
+        return {"keys": self.keys}

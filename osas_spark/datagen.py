@@ -1,0 +1,152 @@
+"""Deterministic synthesis of the `code_files` validation fixture.
+
+Schema per BASELINE.json input_hint: (repo, path, commit, lang, content).
+Injected violations follow FIXTURES.md §1 so tests know the exact
+expected verdicts.
+
+Scale-first design: rows are derived from `spark.range(n)` with pure
+column expressions — generation is distributed, needs no driver memory,
+and every value is a deterministic function of (row id, seed), so the
+fixture is identical regardless of partitioning or cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = [
+    "python", "java", "c", "cpp", "go", "rust",
+    "js", "ts", "ruby", "php", "scala", "kotlin",
+]
+EXTS = {
+    "python": "py", "java": "java", "c": "c", "cpp": "cc", "go": "go",
+    "rust": "rs", "js": "js", "ts": "ts", "ruby": "rb", "php": "php",
+    "scala": "scala", "kotlin": "kt",
+}
+N_COMMITS = 6
+_CORPUS = (
+    "def validate(frame, suite): return [check.run(frame) for check in suite] "
+    "class Profiler: pass # count null distinct quantile frequency drift "
+    "for row in table: emit(labels(row), score(row)) "
+    "select repo path commit lang content from files where lang is not null "
+)
+
+
+def _u(seed: int, salt: str) -> F.Column:
+    """Deterministic uniform [0,1) from the row id — xxhash64 based."""
+    h = F.xxhash64(F.col("id"), F.lit(salt), F.lit(seed))
+    return (F.pmod(h, F.lit(1_000_000)).cast("double")) / 1_000_000.0
+
+
+def lang_dict(spark: SparkSession) -> DataFrame:
+    """The referential dictionary: lang -> canonical extension."""
+    return spark.createDataFrame(
+        [(lang, EXTS[lang]) for lang in LANGS], schema="lang string, ext string"
+    )
+
+
+def code_files(
+    spark: SparkSession,
+    n_rows: int = 50_000,
+    seed: int = 42,
+    n_repos: int = 200,
+    inject_violations: bool = True,
+) -> DataFrame:
+    """Synthesize the (repo, path, commit, lang, content) table.
+
+    Violation injection rates (FIXTURES.md §1):
+      - duplicate (repo,path,commit) keys: 0.2%, concentrated in the hot repo
+      - lang values missing from lang_dict: 0.1%
+      - null lang: 0.05%; empty content: 0.05%
+      - drift in the LAST commit: one lang 3x more frequent, lengths +50%
+      - numeric outliers: 0.1% of rows with content length ~8x the mean
+    """
+    base = spark.range(n_rows).withColumn("row_seed", F.lit(seed))
+
+    u_repo = _u(seed, "repo")
+    u_repo2 = _u(seed, "repo2")
+    # Zipf-ish skew: hot repo org0/repo0 holds ~20% of rows; the rest follow
+    # a quadratic power-law tail over the remaining repos.
+    repo_idx = F.when(u_repo < 0.2, F.lit(0)).otherwise(
+        (F.lit(1) + F.floor(u_repo2 * u_repo2 * (n_repos - 1))).cast("int")
+    )
+    commit_idx = F.pmod(F.xxhash64("id", F.lit("commit"), F.lit(seed)), F.lit(N_COMMITS))
+    lang_idx = F.pmod(F.xxhash64("id", F.lit("lang"), F.lit(seed)), F.lit(len(LANGS)))
+
+    df = (
+        base.withColumn("repo_idx", repo_idx)
+        .withColumn("commit_idx", commit_idx)
+        .withColumn("lang_idx", lang_idx.cast("int"))
+    )
+
+    if inject_violations:
+        # drift: in the last commit, fold half of all langs onto lang 0
+        # (tripling-ish its frequency there).
+        df = df.withColumn(
+            "lang_idx",
+            F.when(
+                (F.col("commit_idx") == N_COMMITS - 1) & (_u(seed, "drift") < 0.35),
+                F.lit(0),
+            ).otherwise(F.col("lang_idx")),
+        )
+
+    lang_arr = F.array(*[F.lit(lg) for lg in LANGS])
+    ext_arr = F.array(*[F.lit(EXTS[lg]) for lg in LANGS])
+    lang_col = F.element_at(lang_arr, F.col("lang_idx") + 1)
+    ext_col = F.element_at(ext_arr, F.col("lang_idx") + 1)
+
+    if inject_violations:
+        lang_col = (
+            F.when(_u(seed, "refbreak") < 0.001,
+                   F.concat(F.lit("lang_unknown_"), F.pmod(F.col("id"), F.lit(3))))
+            .when(_u(seed, "nulllang") < 0.0005, F.lit(None).cast("string"))
+            .otherwise(lang_col)
+        )
+
+    # content length: log-normal-ish in [40, 4000] via squared uniform
+    u_len = _u(seed, "len")
+    length = (F.lit(40) + (u_len * u_len * 3960).cast("int")).cast("int")
+    if inject_violations:
+        mean_len = 40 + 3960 / 3.0  # E[u^2] = 1/3
+        length = (
+            F.when(_u(seed, "outlier") < 0.001, F.lit(int(mean_len * 8)))
+            .otherwise(length)
+        )
+        # drift: +50% length in the last commit
+        length = F.when(
+            F.col("commit_idx") == N_COMMITS - 1, (length * 1.5).cast("int")
+        ).otherwise(length)
+
+    corpus = F.lit(_CORPUS * 64)  # ~17k chars > max injected length
+    content = F.concat(
+        F.format_string("// f%d ", F.col("id")),
+        F.substring(corpus, 1, 100000).substr(F.lit(1), length),
+    )
+    if inject_violations:
+        content = F.when(_u(seed, "emptyc") < 0.0005, F.lit("")).otherwise(content)
+
+    df = df.select(
+        F.col("id"),
+        F.format_string("org%d/repo%d", F.pmod("repo_idx", F.lit(20)), F.col("repo_idx")).alias("repo"),
+        F.format_string(
+            "src/module%d/file%d.%s",
+            F.pmod(F.xxhash64("id", F.lit("m"), F.lit(seed)), F.lit(50)),
+            F.pmod(F.xxhash64("id", F.lit("f"), F.lit(seed)), F.lit(2000)),
+            ext_col,
+        ).alias("path"),
+        F.format_string("c%06d", F.col("commit_idx")).alias("commit"),
+        lang_col.alias("lang"),
+        content.alias("content"),
+    )
+
+    if inject_violations:
+        # duplicate keys: re-emit ~0.2% of rows (same repo/path/commit,
+        # different content suffix so the dup is a *key* dup, not a row dup).
+        dups = (
+            df.where(F.pmod(F.xxhash64("id", F.lit("dup"), F.lit(seed)), F.lit(500)) == 0)
+            .withColumn("content", F.concat("content", F.lit(" // dup")))
+        )
+        df = df.unionByName(dups)
+
+    return df.drop("id")

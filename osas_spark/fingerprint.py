@@ -1,0 +1,42 @@
+"""Content fingerprinting — sha256 via Arrow-vectorized pandas UDF.
+
+The north rule mandates the per-row invariant "content sha256 equality
+vs the reference" computed through a pandas/Arrow UDF; `sha2(col, 256)`
+(JVM, codegen'd) is kept as a cross-check — tests assert the two agree
+byte-for-byte on every row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+from pyspark.sql.types import StringType
+
+
+@F.pandas_udf(StringType())
+def sha256_udf(s: pd.Series) -> pd.Series:
+    """Hex sha256 of the UTF-8 bytes of each value; None stays None."""
+    return s.map(
+        lambda v: None if v is None else hashlib.sha256(str(v).encode("utf-8")).hexdigest()
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, content_col: str = "content", out_col: str = "content_sha256"
+) -> DataFrame:
+    return df.withColumn(out_col, sha256_udf(F.col(content_col)))
+
+
+def fingerprint_mismatches(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Rows where the pandas-UDF sha256 disagrees with F.sha2 — must be
+    empty; kept as a runtime self-check (cheap: one projection)."""
+    jvm = F.sha2(F.col(content_col).cast("string"), 256)
+    return with_fingerprint(df, content_col, "__py_sha").where(
+        (F.col(content_col).isNotNull()) & (F.col("__py_sha") != jvm)
+    )

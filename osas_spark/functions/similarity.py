@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the corpus — the corpus never shuffles, the scan is
+embarrassingly parallel, and the per-query top-k is one window. The
+scale path is sign-LSH bucketing (cosine-preserving) so each query only
+scans its bucket: corpus and queries are hashed with the SAME
+deterministic hyperplanes and equi-joined on the bucket key — a plain
+shuffle/broadcast join Catalyst can plan, probing neighbor buckets for
+recall.
+
+Dot products use F.zip_with + F.aggregate (JVM, codegen) — no Python
+per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from osas_spark.functions.dedup import _dot, _norm
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for each query: (query_id, neighbor_id,
+    cosine, rank). Queries are broadcast; one corpus scan total."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("c_nrm", _norm(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("q_nrm", _norm(F.col("q_vec")))
+
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))
+    scored = joined.withColumn("cosine", cos)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _bucket_expr(vec_col: str, n_planes: int, dim: int, flip: int = -1) -> F.Column:
+    """Sign-LSH bucket id; flip >= 0 inverts that plane's bit (probing)."""
+    from osas_spark.functions.dedup import embedding_near_duplicates  # noqa: F401
+
+    def _pseudo(p: int, i: int) -> float:
+        return (((p * 1_000_003 + i) * 2654435761) % (2 ** 32)) / (2 ** 31) - 1.0
+
+    total = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_pseudo(p, i)) for i in range(dim)])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        if p == flip:
+            bit = F.lit(1) - bit
+        term = bit * F.lit(2 ** p)
+        total = term if total is None else total + term
+    return total
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: equi-join corpus and queries on sign-LSH
+    buckets (+ `multiprobe` single-bit-flipped probe buckets per query
+    for recall), then exact cosine within the candidate set.
+
+    At scale this replaces the full cross product with a join whose
+    right side is |Q| * (1+multiprobe) rows — the corpus side is
+    shuffled once on the bucket key (or the query side broadcast).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", _bucket_expr("c_vec", n_planes, dim)).withColumn(
+        "c_nrm", _norm(F.col("c_vec"))
+    )
+    probes = [_bucket_expr("q_vec", n_planes, dim)] + [
+        _bucket_expr("q_vec", n_planes, dim, flip=f) for f in range(multiprobe)
+    ]
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("bucket", F.explode(F.array(*probes)))
+        .dropDuplicates(["query_id", "bucket"])
+        .withColumn("q_nrm", _norm(F.col("q_vec")))
+    )
+    joined = c.join(F.broadcast(q), on="bucket")
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))
+    scored = joined.withColumn("cosine", cos).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,191 @@
+"""Phase 1 — single-pass per-column statistics.
+
+The reference profiles with one full dataset scan *per label generator*
+(reference src/osas/pipeline/pipeline.py:89-152; NumericField even scans
+twice, label_generators.py:212,234). Here every per-column aggregate is
+fused into ONE `df.agg(...)` so Catalyst plans a single scan with
+partial+final aggregation; grouped stats and frequency maps each add at
+most one shuffle, shared across all participating columns.
+
+All sketches are mergeable (count/sum/M2, HLL via approx_count_distinct,
+KLL via percentile_approx), which is what makes per-partition
+checkpoint/resume (checkpoint.py) algebraically exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+@dataclass
+class ColumnStats:
+    """JSON-serializable per-column statistics (the 'model' of a column)."""
+
+    column: str
+    count: int = 0
+    nulls: int = 0
+    approx_distinct: int = 0
+    # numeric-only (None for non-numeric columns)
+    mean: float | None = None
+    stddev_pop: float | None = None
+    min: Any = None
+    max: Any = None
+    quantiles: dict[str, float] = field(default_factory=dict)
+
+    @property
+    def null_rate(self) -> float:
+        return self.nulls / self.count if self.count else 0.0
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ColumnStats":
+        return cls(**d)
+
+
+_QUANTILES = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def profile(
+    df: DataFrame,
+    numeric_cols: list[str] | None = None,
+    other_cols: list[str] | None = None,
+    quantiles: list[float] = _QUANTILES,
+    rsd: float = 0.05,
+) -> dict[str, ColumnStats]:
+    """Profile columns in ONE aggregation pass (one scan, no shuffle
+    beyond the final single-row reduce).
+
+    numeric_cols get mean/stddev_pop/min/max/approx quantiles in addition
+    to count/null/HLL-distinct. Column pruning: only referenced columns
+    are read from the source (check .explain ReadSchema).
+    """
+    if numeric_cols is None and other_cols is None:
+        numeric_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() in
+            ("integer", "long", "double", "float", "short", "decimal", "byte")
+        ]
+        other_cols = [f.name for f in df.schema.fields if f.name not in numeric_cols]
+    numeric_cols = numeric_cols or []
+    other_cols = other_cols or []
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric_cols + other_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__adist"))
+    for c in numeric_cols:
+        aggs.append(F.avg(c).alias(f"{c}__mean"))
+        aggs.append(F.stddev_pop(c).alias(f"{c}__std"))
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+        aggs.append(F.percentile_approx(c, quantiles, 10_000).alias(f"{c}__q"))
+    for c in other_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__n"]
+    out: dict[str, ColumnStats] = {}
+    for c in numeric_cols:
+        qs = row.get(f"{c}__q") or []
+        out[c] = ColumnStats(
+            column=c, count=n, nulls=row[f"{c}__nulls"],
+            approx_distinct=row[f"{c}__adist"],
+            mean=row[f"{c}__mean"], stddev_pop=row[f"{c}__std"],
+            min=row[f"{c}__min"], max=row[f"{c}__max"],
+            quantiles={str(p): v for p, v in zip(quantiles, qs)},
+        )
+    for c in other_cols:
+        out[c] = ColumnStats(
+            column=c, count=n, nulls=row[f"{c}__nulls"],
+            approx_distinct=row[f"{c}__adist"],
+            min=row[f"{c}__min"], max=row[f"{c}__max"],
+        )
+    return out
+
+
+def frequency_maps(
+    df: DataFrame,
+    cols: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Value-frequency maps for many categorical columns in ONE shuffle.
+
+    Reference analogue: MultinomialField count maps
+    (label_generators.py:705-741), one full pass per field there; here
+    all fields are unpivoted via stack() and aggregated together —
+    map-side partial aggregation collapses the multiplied rows before
+    the single shuffle on (column, value).
+
+    Returns: (column, value, cnt, total, prob) — value is stringified.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    unpivoted = df.select(
+        F.expr(f"stack({len(cols)}, {stack_expr}) as (column, value)"),
+        w.alias("w"),
+    )
+    counts = unpivoted.groupBy("column", "value").agg(F.sum("w").alias("cnt"))
+    totals = W.partitionBy("column")
+    return counts.withColumn("total", F.sum("cnt").over(totals)).withColumn(
+        "prob", F.col("cnt") / F.col("total")
+    )
+
+
+def grouped_numeric_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    weight_col: str | None = None,
+    std_floor: float = 0.01,
+) -> DataFrame:
+    """Weighted mean / population-stddev / count per group — one shuffle.
+
+    Semantics match the reference's NumericField with group_by
+    (label_generators.py:195-250): weight = count_column (pre-clustered
+    data) else 1; POPULATION variance (/N); sigma floored at 0.01 when a
+    group is constant (label_generators.py:351-352).
+
+    Single pass via E[x^2] - E[x]^2 on weighted sums (vs the reference's
+    two passes).
+    """
+    x = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    agg = (
+        df.where(x.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(w).alias("n"),
+            F.sum(x * w).alias("_sx"),
+            F.sum(x * x * w).alias("_sxx"),
+        )
+    )
+    mean = F.col("_sx") / F.col("n")
+    var = F.greatest(F.col("_sxx") / F.col("n") - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        mean.alias("mean"),
+        F.when(std <= 0, F.lit(std_floor)).otherwise(std).alias("std"),
+    )
+
+
+def global_numeric_stats(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    std_floor: float = 0.01,
+) -> tuple[float, float, float]:
+    """(n, mean, std) for one column, weighted, population variance."""
+    row = grouped_numeric_stats(
+        df.withColumn("__g", F.lit(1)), value_col, ["__g"], weight_col, std_floor
+    ).collect()[0]
+    return float(row["n"]), float(row["mean"]), float(row["std"])

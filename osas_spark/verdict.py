@@ -1,0 +1,114 @@
+"""Suite orchestration: labels -> violations with lineage -> verdicts.
+
+ValidationSuite is the engine's Pipeline analogue
+(reference src/osas/pipeline/pipeline.py:31-167): an ordered list of
+checks fitted in phase 1 and applied in phase 2. Instead of the
+reference's per-row nested loop it builds ONE composed DataFrame plan;
+Catalyst fuses the narrow stages and schedules the few broadcast joins.
+
+Outputs:
+  transform(df)    rows + per-check label arrays + combined `labels`
+  violations(df)   exploded violation rows with lineage:
+                   (check, label, partition, key..., offending row cols)
+  verdicts(df)     per (partition, check) PASS/FAIL matrix with counts
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check, LABELS_COL, SCORE_COL, finalize_labels
+
+
+class ValidationSuite:
+    def __init__(self, checks: list[Check], partition_col: str | None = None):
+        names = [c.name for c in checks]
+        assert len(set(names)) == len(names), f"duplicate check names: {names}"
+        self.checks = checks
+        self.partition_col = partition_col
+        self.fitted = False
+
+    # ------------------------------------------------------------- phase 1
+    def fit(self, df: DataFrame) -> "ValidationSuite":
+        for c in self.checks:
+            c.fit(df)
+        self.fitted = True
+        return self
+
+    # ------------------------------------------------------------- phase 2
+    def transform(self, df: DataFrame) -> DataFrame:
+        assert self.fitted, "call fit() first"
+        out = df
+        for c in self.checks:
+            out = c.apply(out)
+        out = finalize_labels(out, self.checks)
+        if SCORE_COL not in out.columns:
+            out = out.withColumn(SCORE_COL, F.lit(0.0))
+        return out
+
+    # ---------------------------------------------------------- violations
+    def violations(self, transformed: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+        """One row per (row, check, violation-label) with lineage."""
+        parts = []
+        keep = keep_cols if keep_cols is not None else [
+            c for c in transformed.columns
+            if not c.startswith("_") and c not in (LABELS_COL, SCORE_COL)
+        ]
+        for c in self.checks:
+            vl = c.violation_labels()
+            if not vl:
+                continue
+            hit = F.array_intersect(
+                F.col(c.label_col), F.array(*[F.lit(v) for v in vl])
+            )
+            part = (
+                transformed.where(F.size(hit) > 0)
+                .select(
+                    F.lit(c.name).alias("check"),
+                    F.explode(hit).alias("violation"),
+                    *[F.col(k) for k in keep],
+                )
+            )
+            parts.append(part)
+        if not parts:
+            return transformed.sparkSession.createDataFrame(
+                [], schema="check string, violation string"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------ verdicts
+    def verdicts(self, transformed: DataFrame, partition_col: str | None = None) -> DataFrame:
+        """PASS/FAIL per (partition, check): FAIL iff any violating row.
+
+        One aggregation pass: per-check violation counts are summed
+        grouped by the partition column (map-side partial agg first).
+        """
+        pcol = partition_col or self.partition_col
+        group = [pcol] if pcol else []
+        aggs = []
+        for c in self.checks:
+            vl = c.violation_labels()
+            if not vl:
+                continue
+            hit = F.size(
+                F.array_intersect(F.col(c.label_col), F.array(*[F.lit(v) for v in vl]))
+            ) > 0
+            aggs.append(F.sum(hit.cast("long")).alias(c.name))
+        counted = transformed.groupBy(*group).agg(*aggs) if group else transformed.agg(*aggs)
+        # long form: (partition, check, violation_rows, verdict)
+        names = [c.name for c in self.checks if c.violation_labels()]
+        stack = ", ".join(f"'{n}', `{n}`" for n in names)
+        long = counted.select(
+            *group, F.expr(f"stack({len(names)}, {stack}) as (check, violation_rows)")
+        )
+        return long.withColumn(
+            "verdict", F.when(F.col("violation_rows") > 0, "FAIL").otherwise("PASS")
+        )
+
+    # ---------------------------------------------------------- checkpoint
+    def model_dict(self) -> dict:
+        return {c.name: c.model_dict() for c in self.checks}

@@ -1,0 +1,30 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osas_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="osas_spark_tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def code_files(spark):
+    from osas_spark.datagen import code_files as gen
+    df = gen(spark, n_rows=5000, seed=42)
+    df.cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,100 @@
+"""End-to-end slice: datagen -> profile -> suite -> violations -> verdicts."""
+
+import pyspark.sql.functions as F
+
+from osas_spark.datagen import lang_dict, N_COMMITS
+from osas_spark.stats import profile, frequency_maps
+from osas_spark.checks import (
+    NumericCheck, CategoricalCheck, UniquenessCheck, ReferentialCheck,
+)
+from osas_spark.verdict import ValidationSuite
+from osas_spark.fingerprint import with_fingerprint, fingerprint_mismatches
+
+
+def test_datagen_shape(code_files):
+    assert code_files.columns == ["repo", "path", "commit", "lang", "content"]
+    n = code_files.count()
+    assert n >= 5000  # base + injected dups
+    assert code_files.select("commit").distinct().count() == N_COMMITS
+
+
+def test_datagen_deterministic(spark, code_files):
+    from osas_spark.datagen import code_files as gen
+    again = gen(spark, n_rows=5000, seed=42)
+    assert again.exceptAll(code_files).count() == 0
+    assert code_files.exceptAll(again).count() == 0
+
+
+def test_profile_single_pass(code_files):
+    df = code_files.withColumn("clen", F.length("content"))
+    stats = profile(df, numeric_cols=["clen"], other_cols=["lang", "repo"])
+    n = code_files.count()
+    assert stats["clen"].count == n
+    assert stats["lang"].nulls > 0  # injected null langs
+    assert stats["clen"].mean > 40
+    exact = df.select(F.countDistinct("repo")).collect()[0][0]
+    assert abs(stats["repo"].approx_distinct - exact) / exact < 0.15
+
+
+def test_frequency_maps_one_shuffle(code_files):
+    fm = frequency_maps(code_files, ["lang", "commit"])
+    rows = fm.collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["column"], 0)
+        by_col[r["column"]] += r["cnt"]
+    n = code_files.count()
+    # null values appear as NULL string rows in the map; non-null sums to count-nulls
+    assert by_col["commit"] == n
+    probs = [r["prob"] for r in rows if r["column"] == "commit"]
+    assert abs(sum(probs) - 1.0) < 1e-9
+
+
+def test_fingerprint_parity(code_files):
+    assert fingerprint_mismatches(code_files).count() == 0
+    fp = with_fingerprint(code_files)
+    assert fp.select("content_sha256").first()[0] is not None
+
+
+def test_suite_end_to_end(spark, code_files):
+    df = code_files.withColumn("clen", F.length("content"))
+    suite = ValidationSuite(
+        [
+            UniquenessCheck(["repo", "path", "commit"]),
+            ReferentialCheck("lang", lang_dict(spark)),
+            NumericCheck("clen", name="numeric_clen",
+                         stdev_outlier_threshold=4.0),
+            CategoricalCheck("lang", absolute_threshold=3,
+                             relative_threshold=0.001),
+        ],
+        partition_col="commit",
+    )
+    suite.fit(df)
+    out = suite.transform(df).cache()
+
+    # injected duplicate keys are detected
+    dup_rows = out.where(
+        F.array_contains("labels", "DUPLICATE_REPO_PATH_COMMIT")
+    ).count()
+    assert dup_rows > 0 and dup_rows % 2 == 0  # dup pairs both flagged
+
+    # injected unknown langs are orphans
+    orphans = out.where(F.array_contains("labels", "UNSEEN_LANG")).count()
+    expected_orphans = code_files.where(F.col("lang").startswith("lang_unknown")).count()
+    assert orphans == expected_orphans and orphans > 0
+
+    # null langs labeled
+    assert out.where(F.array_contains("labels", "LANG_NULL")).count() == \
+        code_files.where(F.col("lang").isNull()).count()
+
+    # verdict matrix: FAIL where violations exist, one row per (commit, check)
+    v = suite.verdicts(out)
+    mat = {(r["commit"], r["check"]): r["verdict"] for r in v.collect()}
+    assert len(mat) == N_COMMITS * 4
+    fails = [k for k, vv in mat.items() if vv == "FAIL"]
+    assert any(k[1] == "unique_repo_path_commit" for k in fails)
+
+    # violations with lineage
+    viol = suite.violations(out, keep_cols=["repo", "path", "commit"])
+    assert {"check", "violation", "repo", "path", "commit"} <= set(viol.columns)
+    assert viol.count() >= dup_rows + orphans
