@@ -1,38 +1,956 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship two-phase validation suite on
+sf0.001; `queries()` exposes every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators) as a
+(spark, sf_dir) -> DataFrame callable; `oracle_sql()` provides the
+DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Column-name + rounding discipline: every computed column is aliased
+identically on both sides; floats are rounded (4dp ratios/stats, 2dp
+money sums) so double-summation-order differences between engines
+cannot flip the value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# flagship: two-phase validation suite (SURVEY §3.1-3.2 lifecycle)
+# =====================================================================
+
+def _suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-1 fit + phase-2 label + per-partition verdict matrix over
+    lineitem, partitioned by l_returnflag. Exercises UniquenessCheck
+    (salted two-stage agg), ReferentialCheck (broadcast anti-join
+    semantics), NumericCheck (stdev bands, reference P3), and
+    CategoricalCheck (multinomial thresholds, reference P6)."""
+    from osas_spark.checks import (
+        CategoricalCheck, NumericCheck, ReferentialCheck, UniquenessCheck,
+    )
+    from osas_spark.verdict import ValidationSuite
+
+    li = _t(spark, sf_dir, "lineitem")
+    part_dim = _t(spark, sf_dir, "part")
+    suite = ValidationSuite(
+        [
+            UniquenessCheck(["l_orderkey", "l_linenumber"]),
+            ReferentialCheck("l_partkey", part_dim, dim_key="p_partkey"),
+            NumericCheck("l_extendedprice"),
+            CategoricalCheck("l_linestatus"),
+        ],
+        partition_col="l_returnflag",
+    )
+    suite.fit(li)
+    out = suite.transform(li)
+    return suite.verdicts(out).select(
+        "l_returnflag",
+        F.col("check"),
+        F.col("violation_rows").cast("long").alias("violation_rows"),
+        "verdict",
+    )
+
+
+_SUITE_VERDICTS_SQL = """
+WITH stats AS (
+  SELECT avg(l_extendedprice) AS mu,
+         CASE WHEN stddev_pop(l_extendedprice) <= 0 THEN 0.01
+              ELSE stddev_pop(l_extendedprice) END AS sigma
+  FROM lineitem
+),
+dupkeys AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  GROUP BY 1, 2 HAVING count(*) > 1
+),
+uq AS (
+  SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS v
+  FROM lineitem l JOIN dupkeys d USING (l_orderkey, l_linenumber)
+  GROUP BY 1
+),
+num AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN abs(l_extendedprice - mu) / sigma >= 2.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM lineitem, stats GROUP BY 1
+),
+refv AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+cat AS (SELECT l_returnflag, CAST(0 AS BIGINT) AS v FROM flags)
+SELECT f.l_returnflag, c.check, COALESCE(x.v, 0) AS violation_rows,
+       CASE WHEN COALESCE(x.v, 0) > 0 THEN 'FAIL' ELSE 'PASS' END AS verdict
+FROM flags f
+CROSS JOIN (VALUES ('unique_l_orderkey_l_linenumber'),
+                   ('ref_l_partkey'),
+                   ('numeric_l_extendedprice'),
+                   ('categorical_l_linestatus')) AS c("check")
+LEFT JOIN (
+  SELECT l_returnflag, 'unique_l_orderkey_l_linenumber' AS chk, v FROM uq
+  UNION ALL SELECT l_returnflag, 'ref_l_partkey', v FROM refv
+  UNION ALL SELECT l_returnflag, 'numeric_l_extendedprice', v FROM num
+  UNION ALL SELECT l_returnflag, 'categorical_l_linestatus', v FROM cat
+) x ON x.l_returnflag = f.l_returnflag AND x.chk = c.check
+"""
+
+
+# =====================================================================
+# phase-1 statistics (SURVEY §2.3 A1-A3, A15)
+# =====================================================================
+
+def _profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile in long form. (Exact distinct here
+    for oracle parity; the engine's profile() uses HLL sketches.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_pop(c), 4).alias(f"{c}__std"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    one = _t(spark, sf_dir, "lineitem").agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__dist`, `{c}__mean`, `{c}__std`, "
+        f"`{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.select(
+        F.col("__n").alias("cnt"),
+        F.expr(
+            f"stack({len(cols)}, {stack}) as "
+            "(col_name, nulls, n_distinct, mean, std, minv, maxv)"
+        ),
+    ).select("col_name", "cnt", "nulls", "n_distinct", "mean", "std", "minv", "maxv")
+
+
+def _profile_sql_branch(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         round(avg({c}), 4) AS mean, round(stddev_pop({c}), 4) AS std,
+         round(min({c}), 4) AS minv, round(max({c}), 4) AS maxv
+  FROM lineitem"""
+
+
+_PROFILE_STATS_SQL = " UNION ALL ".join(
+    _profile_sql_branch(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+)
+
+
+def _freq_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column value-frequency maps in ONE shuffle (A6-A8)."""
+    from osas_spark.stats import frequency_maps
+
+    li = _t(spark, sf_dir, "lineitem")
+    fm = frequency_maps(li, ["l_returnflag", "l_linestatus"])
+    return fm.select(
+        F.col("column").alias("col_name"),
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("long").alias("total"),
+        F.round("prob", 4).alias("prob"),
+    )
+
+
+_FREQ_MAP_SQL = """
+SELECT col_name, value, CAST(cnt AS BIGINT) AS cnt,
+       CAST(total AS BIGINT) AS total, round(cnt / total, 4) AS prob
+FROM (
+  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS value,
+         count(*)::DOUBLE AS cnt, sum(count(*)) OVER ()::DOUBLE AS total
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR),
+         count(*)::DOUBLE, sum(count(*)) OVER ()::DOUBLE
+  FROM lineitem GROUP BY 2
+)
+"""
+
+
+def _grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped weighted mean/population-std/count (A3), one shuffle."""
+    from osas_spark.stats import grouped_numeric_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = grouped_numeric_stats(li, "l_quantity", ["l_returnflag"])
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+    )
+
+
+_GROUPED_STATS_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_quantity), 4) AS mean,
+       round(CASE WHEN stddev_pop(l_quantity) <= 0 THEN 0.01
+                  ELSE stddev_pop(l_quantity) END, 4) AS std
+FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+"""
+
+
+# =====================================================================
+# row-labeling predicates (SURVEY §2.2 P3, P6, P9)
+# =====================================================================
+
+def _stdev_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumericCheck band classification counts (reference P3)."""
+    from osas_spark.checks import NumericCheck
+
+    li = _t(spark, sf_dir, "lineitem")
+    nc = NumericCheck("l_extendedprice", name="bands").fit(li)
+    labeled = nc.apply(li)
+    return (
+        labeled.select(F.element_at(F.col(nc.label_col), 1).alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_STDEV_BANDS_SQL = """
+WITH stats AS (
+  SELECT avg(l_extendedprice) AS mu,
+         CASE WHEN stddev_pop(l_extendedprice) <= 0 THEN 0.01
+              ELSE stddev_pop(l_extendedprice) END AS sigma
+  FROM lineitem
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN r >= 2.0 THEN 'L_EXTENDEDPRICE_OUTLIER'
+              WHEN r > 1.0 AND r < 2.0 THEN 'L_EXTENDEDPRICE_BORDERLINE'
+              WHEN r < 1.0 THEN 'L_EXTENDEDPRICE_NORMAL'
+              ELSE NULL END AS band
+  FROM (SELECT abs(l_extendedprice - mu) / sigma AS r FROM lineitem, stats)
+) GROUP BY 1
+"""
+
+
+def _rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CategoricalCheck frequency model + LOW_OBS_COUNT labeling (P6)."""
+    from osas_spark.checks import CategoricalCheck
+
+    part = _t(spark, sf_dir, "part")
+    cc = CategoricalCheck("p_brand", absolute_threshold=70).fit(part)
+    ft = cc.frequency_table()
+    return ft.select(
+        F.col("__k_p_brand").alias("p_brand"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("prob", 4).alias("prob"),
+        F.when(F.col("cnt") < 70, F.lit("LOW_OBS_COUNT_FOR_P_BRAND"))
+        .otherwise(F.lit("OK"))
+        .alias("label"),
+    )
+
+
+_RARE_CATEGORIES_SQL = """
+SELECT CAST(p_brand AS VARCHAR) AS p_brand, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 4) AS prob,
+       CASE WHEN count(*) < 70 THEN 'LOW_OBS_COUNT_FOR_P_BRAND'
+            ELSE 'OK' END AS label
+FROM part GROUP BY 1
+"""
+
+
+def _pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combiner pair-frequency model (reference A6/P6 pair mode)."""
+    from osas_spark.checks import CategoricalCheck
+
+    orders = _t(spark, sf_dir, "orders")
+    cc = CategoricalCheck(["o_orderstatus", "o_orderpriority"]).fit(orders)
+    return cc.frequency_table().select(
+        F.col("__k_o_orderstatus").alias("o_orderstatus"),
+        F.col("__k_o_orderpriority").alias("o_orderpriority"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
+_PAIR_FREQ_SQL = """
+SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+       CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*)::DOUBLE / (sum(count(*)) OVER ()), 6) AS prob
+FROM orders GROUP BY 1, 2
+"""
+
+
+def _rules_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule engine (reference P9: OR over conditions, AND
+    over attributes, OR over regexes, anchored match, score accrual)."""
+    from osas_spark.checks.rules import Rule, RuleCheck
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        Rule(name="en_spark", label="RULE_EN_SPARK", score=1.5,
+             conditions=[{"lang": ["en"], "text": [".*spark.*"]}]),
+        Rule(name="big_doc", label="RULE_BIG", score=2.0,
+             conditions=[{"n_chars": ["[0-9]{3,}"]}]),
+        Rule(name="zh_or_mid", label="RULE_ZH_OR_MID", score=0.5,
+             conditions=[{"lang": ["zh"]}, {"n_chars": ["[0-9]{2}"]}]),
+    ]
+    rc = RuleCheck(rules)
+    out = rc.apply(docs)
+    return out.select(
+        "doc_id",
+        F.round("score", 2).alias("score"),
+        F.size(F.col(rc.label_col)).cast("long").alias("n_fired"),
+    )
+
+
+_RULES_SCORE_SQL = """
+SELECT doc_id,
+  round(CAST((CASE WHEN lang LIKE 'en%' AND regexp_matches(text, 'spark')
+              THEN 1.5 ELSE 0 END)
+      + (CASE WHEN n_chars >= 100 THEN 2.0 ELSE 0 END)
+      + (CASE WHEN lang LIKE 'zh%' OR n_chars >= 10 THEN 0.5 ELSE 0 END)
+      AS DOUBLE), 2) AS score,
+  CAST((CASE WHEN lang LIKE 'en%' AND regexp_matches(text, 'spark')
+             THEN 1 ELSE 0 END)
+     + (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+     + (CASE WHEN lang LIKE 'zh%' OR n_chars >= 10 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_fired
+FROM documents
+"""
+
+
+# =====================================================================
+# constraint checks (SURVEY §2.4 joins / north-rule checks)
+# =====================================================================
+
+def _unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage duplicate-key aggregation (north rule)."""
+    from osas_spark.checks import UniquenessCheck
+
+    li = _t(spark, sf_dir, "lineitem")
+    uc = UniquenessCheck(["l_orderkey", "l_linenumber"]).fit(li)
+    return uc.duplicates().select(
+        "l_orderkey", "l_linenumber",
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+_UNIQUE_VIOLATIONS_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def _referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left_anti FK checks over three relations."""
+    from osas_spark.checks import ReferentialCheck
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    parts = []
+    for rel, fact, fk, dim, dk in [
+        ("lineitem.l_partkey->part", li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey"),
+    ]:
+        rc = ReferentialCheck(fk, dim, dim_key=dk)
+        cnt = rc.orphans(fact).agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        parts.append(
+            cnt.select(
+                F.lit(rel).alias("relation"),
+                "orphans",
+                F.when(F.col("orphans") > 0, "FAIL").otherwise("PASS").alias("verdict"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_REFERENTIAL_ORPHANS_SQL = """
+SELECT relation, orphans,
+       CASE WHEN orphans > 0 THEN 'FAIL' ELSE 'PASS' END AS verdict
+FROM (
+  SELECT 'lineitem.l_partkey->part' AS relation, CAST(count(*) AS BIGINT) AS orphans
+  FROM lineitem WHERE l_partkey IS NOT NULL
+    AND l_partkey NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_suppkey IS NOT NULL
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+"""
+
+
+# =====================================================================
+# drift (SURVEY §2.3 A12-A13 reimagined as chi-square / KS)
+# =====================================================================
+
+def _drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out chi-square drift of event_type between the two
+    halves of the month."""
+    from osas_spark.checks.drift import categorical_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "half",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "w1").otherwise("w2"),
+    )
+    d = categorical_drift(ev, "event_type", "half")
+    return d.select("half", F.round("chi2", 4).alias("chi2"),
+                    F.col("dof").cast("long").alias("dof"))
+
+
+_DRIFT_CHI2_SQL = """
+WITH raw AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'w1' ELSE 'w2' END AS half,
+         event_type, count(*)::DOUBLE AS obs
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.half, c.event_type, COALESCE(r.obs, 0) AS obs
+  FROM (SELECT DISTINCT half FROM raw) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM raw) c
+  LEFT JOIN raw r ON r.half = h.half AND r.event_type = c.event_type
+),
+g AS (
+  SELECT half, event_type, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS cat_total,
+         sum(obs) OVER (PARTITION BY half) AS part_total,
+         sum(obs) OVER () AS total
+  FROM grid
+),
+e AS (
+  SELECT half, obs,
+         (cat_total - obs) / (total - part_total) * part_total AS expected
+  FROM g
+)
+SELECT half, round(sum(pow(obs - expected, 2) / expected), 4) AS chi2,
+       CAST(count(*) - 1 AS BIGINT) AS dof
+FROM e WHERE expected > 0 GROUP BY 1
+"""
+
+
+def _drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS (partition vs rest) over binned ECDFs."""
+    from osas_spark.checks.drift import numeric_drift_ks
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = numeric_drift_ks(li, "l_quantity", "l_linestatus", bins=1024)
+    return d.select(
+        "l_linestatus",
+        F.round("ks_stat", 4).alias("ks"),
+        F.col("n").cast("long").alias("n"),
+        F.col("m").cast("long").alias("m"),
+        "drifted",
+    )
+
+
+_DRIFT_KS_SQL = """
+WITH bounds AS (
+  SELECT min(l_quantity::DOUBLE) AS lo,
+         (max(l_quantity::DOUBLE) - min(l_quantity::DOUBLE)) / 1024 AS width
+  FROM lineitem
+),
+binned AS (
+  SELECT l_linestatus,
+         least(floor((l_quantity::DOUBLE - lo) / width), 1023)::BIGINT AS bin,
+         count(*)::DOUBLE AS obs
+  FROM lineitem, bounds WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.l_linestatus, b.bin, COALESCE(x.obs, 0) AS obs
+  FROM (SELECT DISTINCT l_linestatus FROM binned) p
+  CROSS JOIN (SELECT DISTINCT bin FROM binned) b
+  LEFT JOIN binned x ON x.l_linestatus = p.l_linestatus AND x.bin = b.bin
+),
+g AS (
+  SELECT l_linestatus, bin, obs,
+         sum(obs) OVER (PARTITION BY bin) - obs AS rest_obs
+  FROM grid
+),
+c AS (
+  SELECT l_linestatus,
+         sum(obs) OVER (PARTITION BY l_linestatus ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_p,
+         sum(rest_obs) OVER (PARTITION BY l_linestatus ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum_r,
+         sum(obs) OVER (PARTITION BY l_linestatus) AS n,
+         sum(rest_obs) OVER (PARTITION BY l_linestatus) AS m
+  FROM g
+)
+SELECT l_linestatus, round(max(abs(cum_p / n - cum_r / m)), 4) AS ks,
+       CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m,
+       max(abs(cum_p / n - cum_r / m)) >
+         sqrt(-ln(0.001 / 2) / 2) * sqrt((max(n) + max(m)) / (max(n) * max(m)))
+         AS drifted
+FROM c GROUP BY 1
+"""
+
+
+# =====================================================================
+# fingerprinting + dedup (training-data pipeline ops)
+# =====================================================================
+
+def _fingerprint_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mandated Arrow/pandas-UDF sha256 (north rule content invariant)."""
+    from osas_spark.fingerprint import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(docs, "text", "sha").select("doc_id", "sha")
+
+
+_FINGERPRINT_SHA256_SQL = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content digest — one shuffle on the
+    digest, never on the payload."""
+    from osas_spark.functions.dedup import exact_duplicates
+
+    ev = _t(spark, sf_dir, "events")
+    d = exact_duplicates(ev, "props", ["event_id"])
+    return d.select("digest", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(props) AS digest, CAST(count(*) AS BIGINT) AS dup_count
+FROM events GROUP BY props HAVING count(*) > 1
+"""
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — no SQL oracle;
+    driver records the rows-only check)."""
+    from osas_spark.functions.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", n_hashes=32, shingle_k=5, bands=8, threshold=0.5
+    ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    from osas_spark.functions.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard pairs via inverted-index self-join."""
+    from osas_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # max_doc_freq prunes boilerplate shingles BEFORE the self-join —
+    # the standard guard against quadratic bucket blowup at scale
+    # (mirrored in the oracle SQL so parity holds)
+    p = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=200
+    )
+    return p.select(
+        "id_a", "id_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
+           AS gram
+  FROM t
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 200),
+p AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+FROM sh JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE shared / (sa.sz + sb.sz - shared) >= 0.05
+"""
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors (exact baseline)."""
+    from osas_spark.functions.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.where(F.col("vec_id") <= 2)
+    top = cosine_topk_bruteforce(emb, q, k=10)
+    return top.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+_ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 2),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 10
+"""
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path; rows-only check)."""
+    from osas_spark.functions.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.where(F.col("vec_id") <= 2)
+    top = cosine_topk_lsh(emb, q, k=10, n_planes=8, multiprobe=2)
+    return top.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osas_spark.functions.textfns import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qf = quality_features(docs, "text")
+    return qf.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("quality_score", 2).alias("quality_score"),
+    )
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS bpe_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+r AS (
+  SELECT doc_id, ws_tokens, bpe_tokens, n_chars,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END AS alpha_ratio,
+         CASE WHEN ws_tokens > 0 THEN n_chars::DOUBLE / ws_tokens ELSE 0 END AS mean_word_len
+  FROM f
+)
+SELECT doc_id, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(CAST((CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN alpha_ratio > 0.5 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+         AS DOUBLE), 2) AS quality_score
+FROM r
+"""
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osas_spark.functions.textfns import lang_id_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = lang_id_scores(docs, "text")
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lg}").cast("long").alias(f"hits_{lg}")
+          for lg in ["de", "en", "es", "fr", "zh"]],
+        "lang_pred",
+    )
+
+
+def _lang_hits_sql(lang: str, stops: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stops)
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"w -> w IN ({inlist}))) AS hits_{lang}"
+    )
+
+
+def _build_lang_id_sql() -> str:
+    from osas_spark.functions.textfns import STOPWORDS
+
+    hits = ",\n         ".join(
+        _lang_hits_sql(lg, STOPWORDS[lg]) for lg in sorted(STOPWORDS)
+    )
+    # tie-break: max hits, then lexicographically LARGEST language
+    # (matches the engine's sort_array(desc) over (hits, lang) structs)
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    pred = "CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und' "
+    for lg in langs_desc:
+        pred += (
+            f"WHEN hits_{lg} = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) "
+            f"THEN '{lg}' "
+        )
+    pred += "END AS lang_pred"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {hits}
+  FROM documents
+)
+SELECT doc_id, CAST(hits_de AS BIGINT) AS hits_de, CAST(hits_en AS BIGINT) AS hits_en,
+       CAST(hits_es AS BIGINT) AS hits_es, CAST(hits_fr AS BIGINT) AS hits_fr,
+       CAST(hits_zh AS BIGINT) AS hits_zh, {pred}
+FROM h
+"""
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-lite document fingerprint: min md5 over word 5-grams."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+_DOC_FINGERPRINT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_min([md5(array_to_string(toks[i:i+4], ' '))
+                 for i in range(1, greatest(len(toks) - 4, 1) + 1)]) AS fp
+FROM t
+"""
+
+
+# =====================================================================
+# relational / window workload (agg + join + window engine coverage)
+# =====================================================================
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def _top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "cnt")
+    )
+
+
+_TOP_EVENT_PER_USER_SQL = """
+SELECT user_id, event_type AS top_event, CAST(cnt AS BIGINT) AS cnt
+FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn = 1
+"""
+
+
+def _hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: heaviest keys by frequency (deterministic top-10)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+_HOT_KEYS_SQL = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1 ORDER BY cnt DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) via lag + cumulative flags."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * 1_000_000
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is pinned UTC,
+    # so the cast to TIMESTAMP (required by unix_micros) is deterministic
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(ts_us - prev > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    flagged = ev.select("user_id", new_sess.alias("new_sess"))
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_sess") + 1).cast("long").alias("n_sessions")
+    )
+
+
+_SESSIONIZE_SQL = """
+SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL THEN 0
+              WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30 * 60 * 1000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY 1
+"""
+
+
+# =====================================================================
+# driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full two-phase validation suite on sf0.001."""
+    return _suite_verdicts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "suite_verdicts": _suite_verdicts,
+        "profile_stats": _profile_stats,
+        "freq_map": _freq_map,
+        "grouped_stats": _grouped_stats,
+        "stdev_bands": _stdev_bands,
+        "rare_categories": _rare_categories,
+        "pair_freq": _pair_freq,
+        "rules_score": _rules_score,
+        "unique_violations": _unique_violations,
+        "referential_orphans": _referential_orphans,
+        "drift_chi2": _drift_chi2,
+        "drift_ks": _drift_ks,
+        "fingerprint_sha256": _fingerprint_sha256,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ngram_jaccard": _ngram_jaccard,
+        "ann_topk": _ann_topk,
+        "ann_lsh": _ann_lsh,
+        "text_quality": _text_quality,
+        "lang_id": _lang_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "tpch_q1": _tpch_q1,
+        "top_event_per_user": _top_event_per_user,
+        "hot_keys": _hot_keys,
+        "sessionize": _sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "suite_verdicts": _SUITE_VERDICTS_SQL,
+        "profile_stats": _PROFILE_STATS_SQL,
+        "freq_map": _FREQ_MAP_SQL,
+        "grouped_stats": _GROUPED_STATS_SQL,
+        "stdev_bands": _STDEV_BANDS_SQL,
+        "rare_categories": _RARE_CATEGORIES_SQL,
+        "pair_freq": _PAIR_FREQ_SQL,
+        "rules_score": _RULES_SCORE_SQL,
+        "unique_violations": _UNIQUE_VIOLATIONS_SQL,
+        "referential_orphans": _REFERENTIAL_ORPHANS_SQL,
+        "drift_chi2": _DRIFT_CHI2_SQL,
+        "drift_ks": _DRIFT_KS_SQL,
+        "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "lang_id": _build_lang_id_sql(),
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "tpch_q1": _TPCH_Q1_SQL,
+        "top_event_per_user": _TOP_EVENT_PER_USER_SQL,
+        "hot_keys": _HOT_KEYS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        # dedup_minhash / dedup_simhash / ann_lsh: xxhash64-based —
+        # intentionally rows-only (no ANSI-SQL equivalent).
+    }

@@ -1,0 +1,83 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ...}
+
+The flagship metric follows BASELINE.json's north rule: validated
+rows/sec for the full two-phase stats+constraint pass (suite_verdicts),
+reported alongside per-query wall times. Run tools/scaling.py for the
+two-parallelism-level scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "suite_verdicts",      # full two-phase validation pass (north rule)
+    "profile_stats",       # single-pass column profile
+    "freq_map",            # one-shuffle multi-column frequency maps
+    "unique_violations",   # salted duplicate-key aggregation
+    "referential_orphans", # broadcast anti-join FK checks
+    "drift_chi2",          # leave-one-out chi-square drift
+    "drift_ks",            # binned two-sample KS drift
+    "fingerprint_sha256",  # Arrow pandas-UDF sha256
+    "dedup_minhash",       # MinHash+LSH near-dup pairs
+    "ngram_jaccard",       # exact n-gram Jaccard via inverted index
+    "ann_topk",            # brute-force cosine top-k
+    "tpch_q1",             # aggregation engine headline
+    "sessionize",          # window/sessionization
+]
+
+
+def main() -> None:
+    import __spark_entry__ as se
+    from osas_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="osas_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(int(CPUS), 4),
+    )
+    # warm the JVM + parquet footers once so per-query times measure the
+    # operators, not session startup
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    qs = se.queries()
+    times: dict[str, float] = {}
+    validated_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # full materialization of the plan
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    rows_per_sec = round(validated_rows / times["suite_verdicts"], 1)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline validation+pipeline queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "validated_rows": validated_rows,
+        "rows_per_sec": rows_per_sec,
+        "cpus": int(CPUS),
+    }))
+
+
+if __name__ == "__main__":
+    main()

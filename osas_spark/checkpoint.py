@@ -1,0 +1,124 @@
+"""Checkpoint / resume — persist fitted suite state and re-mergeable
+partial aggregates.
+
+Reference analogue: the pretrained-model JSON written by train_pipeline
+and reloaded via from_pretrained (reference src/osas/pipeline/
+pipeline.py:71-87, main/train_pipeline.py:39-42) — but with two
+Spark-first differences mandated by the north rule:
+
+  1. No pickle. Every model is JSON (small dict state) or parquet
+     (DataFrame-backed state: grouped stats, frequency tables), so a
+     checkpoint written by one cluster restores on any other.
+  2. Partials, not finals. For resumable multi-batch profiling we
+     persist the ASSOCIATIVE partial state from sketch.py
+     (n/sx/sxx, key counts, HLL binary sketches) per ingest batch;
+     resume = union + re-aggregate, algebraically identical to a
+     single pass (property-tested).
+
+Layout under a checkpoint dir:
+  manifest.json                 {check_name: model_dict or {"__parquet__": sub}}
+  models/<check>/               parquet for DataFrame-backed models
+  partials/<name>/batch=<id>/   parquet partial aggregates per batch
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osas_spark.verdict import ValidationSuite
+
+
+# checks whose state derives from the dataset being validated (not a
+# training profile) must re-fit after restore
+_DATA_DEPENDENT = ("UniquenessCheck", "DriftCheck")
+
+
+def save_suite(suite: ValidationSuite, path: str, metrics: dict | None = None) -> None:
+    """Persist every check's model. DataFrame-backed state (grouped
+    stats / frequency tables) goes to parquet so a huge model never
+    has to fit on the driver; small state inlines into manifest.json."""
+    os.makedirs(path, exist_ok=True)
+    manifest: dict = {"checks": {}, "metrics": metrics or {}}
+    for c in suite.checks:
+        entry: dict = {"class": type(c).__name__}
+        df_state = _model_df(c)
+        if df_state is not None:
+            sub = os.path.join(path, "models", c.name)
+            df_state.write.mode("overwrite").parquet(sub)
+            entry["parquet"] = os.path.join("models", c.name)
+            entry["small"] = _small_state(c)
+        else:
+            entry["model"] = c.model_dict()
+        manifest["checks"][c.name] = entry
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, default=str)
+
+
+def load_suite(
+    suite: ValidationSuite, path: str, spark: SparkSession, df: DataFrame | None = None
+) -> ValidationSuite:
+    """Restore models into a structurally-identical suite. Checks whose
+    state is data-dependent (uniqueness, drift) are re-fitted against
+    `df` — they validate the current table, not a stored profile."""
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    for c in suite.checks:
+        entry = manifest["checks"].get(c.name)
+        if entry is None:
+            raise KeyError(f"checkpoint has no model for check '{c.name}'")
+        if type(c).__name__ in _DATA_DEPENDENT:
+            if df is None:
+                raise ValueError(
+                    f"{c.name} is data-dependent; pass df= to re-fit on restore"
+                )
+            c.fit(df)
+            continue
+        if "parquet" in entry:
+            state = spark.read.parquet(os.path.join(path, entry["parquet"]))
+            _restore_df_state(c, state, entry.get("small") or {})
+        else:
+            c.load_model(entry["model"])
+    suite.fitted = True
+    return suite
+
+
+def _model_df(check) -> DataFrame | None:
+    """DataFrame-backed model state, when the check has one."""
+    for attr in ("_stats", "_freq"):
+        st = getattr(check, attr, None)
+        if isinstance(st, DataFrame):
+            return st
+    return None
+
+
+def _small_state(check) -> dict:
+    g = getattr(check, "_global", None)
+    return {"global": list(g)} if g else {}
+
+
+def _restore_df_state(check, state: DataFrame, small: dict) -> None:
+    if hasattr(check, "_stats"):
+        check._stats = state
+    elif hasattr(check, "_freq"):
+        check._freq = state
+    if small.get("global"):
+        check._global = tuple(small["global"])
+
+
+# ------------------------------------------------------------- partials
+
+def save_partials(partials: DataFrame, path: str, batch_id: str) -> None:
+    """Persist one batch's associative partial aggregates (sketch.py).
+    Append-only: each batch is its own subdirectory, so a crashed run
+    resumes by re-writing only its own batch."""
+    partials.write.mode("overwrite").parquet(
+        os.path.join(path, f"batch={batch_id}")
+    )
+
+
+def load_all_partials(spark: SparkSession, path: str) -> DataFrame:
+    """Union every persisted batch — feed to sketch.merge_*_partials."""
+    return spark.read.parquet(os.path.join(path, "batch=*"))

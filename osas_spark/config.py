@@ -1,0 +1,88 @@
+"""Typed, declarative suite configuration — no eval, no reflection.
+
+Replaces the reference's INI + eval'd Python literals + reflective
+class instantiation (reference src/osas/pipeline/groom_data.py:39-62,
+io_utils/config.py:32-37) with an explicit registry and a validated
+dict/YAML spec:
+
+  partition_col: commit
+  checks:
+    - {type: uniqueness, keys: [repo, path, commit]}
+    - {type: referential, fk: lang, dim_values: [python, java, ...]}
+    - {type: numeric, field: clen, group_by: [lang]}
+    - {type: categorical, fields: [lang], absolute_threshold: 5}
+    - {type: drift, part_col: commit, cat_col: lang, num_col: clen}
+    - {type: rules, rules: [{rule name: ..., rule label: ...,
+                             rule score: ..., conditions: {...}}]}
+    - {type: keyword, field: content, keywords: [password, secret]}
+    - {type: regex, field: path, rules: [["\\.exe$", "SUSPICIOUS_EXT"]]}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from osas_spark.checks import (
+    CategoricalCheck, DriftCheck, KeywordCheck, NumericCheck,
+    ReferentialCheck, RegexLabelCheck, UniquenessCheck,
+)
+from osas_spark.checks.rules import Rule, RuleCheck
+from osas_spark.verdict import ValidationSuite
+
+
+def _build_referential(spark: SparkSession, spec: dict) -> ReferentialCheck:
+    if "dim_values" in spec:
+        dim = spark.createDataFrame(
+            [(v,) for v in spec["dim_values"]], schema=f"{spec['fk']} string"
+        )
+        dim_key = spec["fk"]
+    elif "dim_path" in spec:
+        dim = spark.read.parquet(spec["dim_path"])
+        dim_key = spec.get("dim_key", spec["fk"])
+    else:
+        raise ValueError("referential check needs dim_values or dim_path")
+    return ReferentialCheck(spec["fk"], dim, dim_key=dim_key, name=spec.get("name"))
+
+
+def build_check(spark: SparkSession, spec: dict):
+    t = spec.get("type")
+    if t == "uniqueness":
+        return UniquenessCheck(
+            spec["keys"],
+            salt_buckets=spec.get("salt_buckets", 16),
+            name=spec.get("name"),
+        )
+    if t == "referential":
+        return _build_referential(spark, spec)
+    if t == "numeric":
+        kwargs = {k: v for k, v in spec.items() if k not in ("type", "field")}
+        return NumericCheck(spec["field"], **kwargs)
+    if t == "categorical":
+        kwargs = {k: v for k, v in spec.items() if k not in ("type", "fields")}
+        return CategoricalCheck(spec["fields"], **kwargs)
+    if t == "drift":
+        kwargs = {k: v for k, v in spec.items() if k != "type"}
+        return DriftCheck(**kwargs)
+    if t == "rules":
+        rules = [Rule.from_dict(d) for d in spec["rules"]]
+        return RuleCheck(rules, name=spec.get("name", "rules"))
+    if t == "keyword":
+        return KeywordCheck(spec["field"], spec["keywords"], name=spec.get("name"))
+    if t == "regex":
+        pairs = [tuple(p) for p in spec["rules"]]
+        return RegexLabelCheck(spec["field"], pairs, name=spec.get("name"))
+    raise ValueError(f"unknown check type: {t!r}")
+
+
+def suite_from_dict(spark: SparkSession, spec: dict) -> ValidationSuite:
+    checks = [build_check(spark, s) for s in spec.get("checks", [])]
+    if not checks:
+        raise ValueError("suite spec has no checks")
+    return ValidationSuite(checks, partition_col=spec.get("partition_col"))
+
+
+def suite_from_yaml(spark: SparkSession, path: str) -> ValidationSuite:
+    import yaml
+
+    with open(path) as fh:
+        return suite_from_dict(spark, yaml.safe_load(fh))

@@ -175,23 +175,27 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = F.sequence(F.lit(0), F.lit(63))
+    # one aggregate pass over the token hashes; the 64-slot accumulator
+    # is rebuilt per step with python-side bit positions (shiftright
+    # requires a literal int shift amount)
     acc = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda a, h: F.zip_with(
-            a,
-            bits,
-            lambda av, b: av
-            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1),
-        ),
+        lambda a, h: F.array(*[
+            F.element_at(a, b + 1)
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(64)
+        ]),
     )
-    sim = F.aggregate(
-        F.zip_with(acc, bits, lambda av, b: F.when(av > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda s, v: s + v,
-    )
+    # bit 63 is the sign bit of a signed long: setting it adds -2^63
+    sim = None
+    for b in range(64):
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        term = (
+            F.when(F.element_at(acc, b + 1) > 0, F.lit(weight).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = term if sim is None else sim + term
     return df.withColumn(out_col, sim)
 
 

@@ -120,8 +120,6 @@ def rolling_fingerprint(
     # stride the shingle starts so the array stays bounded for huge docs
     stride = F.greatest((n / 512).cast("int"), F.lit(1))
     starts = F.sequence(F.lit(1), n, stride)
-    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(c, 0, 0) + F.expr("null")))  # placeholder
-    # (substring with dynamic start needs expr form)
     return df.withColumn(
         "fingerprint",
         F.xxhash64(

@@ -1,0 +1,198 @@
+"""Mergeable statistical sketch state — the checkpoint/resume algebra.
+
+The reference supports incremental training by merging stored models
+with a new batch's models (reference src/osas/core/label_generators.py:
+252-282). Its variance merge omits the between-means term
+n0*n1*(mu0-mu1)^2/(n0+n1)^2, biasing merged sigma low when batch means
+differ (SURVEY §4). Here every sketch is ALGEBRAICALLY EXACT under
+merge, because the persisted state is associative sums:
+
+  numeric   (n, sx, sxx)            -> mean = sx/n, var = sxx/n-(sx/n)^2
+  frequency (key, cnt)              -> sum
+  distinct  HLL binary sketch       -> hll_union_agg (Spark 3.5+ native)
+  quantiles fixed-bin histogram     -> per-bin count sum
+
+`merge_numeric_reference_mode` reproduces the reference's (biased)
+formula for bit-parity experiments; the default path is the exact one.
+Sharded-fit-then-merge == single-fit is property-tested
+(tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- numeric
+
+def numeric_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group associative partials (n, sx, sxx) — one shuffle.
+
+    This is exactly the state Spark's partial aggregation carries
+    between map and reduce; persisting it makes the aggregation
+    resumable across jobs.
+    """
+    x = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    return (
+        df.where(x.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(w).alias("n"),
+            F.sum(x * w).alias("sx"),
+            F.sum(x * x * w).alias("sxx"),
+        )
+    )
+
+
+def merge_numeric_partials(*partials: DataFrame) -> DataFrame:
+    """Exact merge: union partials, re-sum per group. Associative and
+    commutative, so any sharding/ordering yields identical results."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    group_cols = [c for c in out.columns if c not in ("n", "sx", "sxx")]
+    return out.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"), F.sum("sxx").alias("sxx")
+    )
+
+
+def finalize_numeric(partials: DataFrame, std_floor: float = 0.01) -> DataFrame:
+    """(group..., n, mean, std) from partials; population variance,
+    sigma floored like the reference (label_generators.py:351-352)."""
+    mean = F.col("sx") / F.col("n")
+    var = F.greatest(F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    group_cols = [c for c in partials.columns if c not in ("n", "sx", "sxx")]
+    return partials.select(
+        *group_cols,
+        "n",
+        mean.alias("mean"),
+        F.when(std <= 0, F.lit(std_floor)).otherwise(std).alias("std"),
+    )
+
+
+def merge_numeric_reference_mode(
+    n0: float, mean0: float, std0: float, n1: float, mean1: float, std1: float
+) -> tuple[float, float, float]:
+    """The reference's incremental merge formula, verbatim semantics
+    (label_generators.py:268-276): weighted mean is exact, but the
+    variance merge DROPS the between-means term — kept only for
+    bit-parity comparisons against reference models."""
+    n = n0 + n1
+    mean = (mean0 * n0 + mean1 * n1) / n
+    var = (std0 * std0 * n0 + std1 * std1 * n1) / n  # reference quirk
+    return n, mean, var ** 0.5
+
+
+def merge_numeric_exact(
+    n0: float, mean0: float, std0: float, n1: float, mean1: float, std1: float
+) -> tuple[float, float, float]:
+    """Chan/parallel-variance merge — the correct formula (adds the
+    between-means term the reference drops)."""
+    n = n0 + n1
+    delta = mean1 - mean0
+    mean = mean0 + delta * n1 / n
+    m2 = std0 * std0 * n0 + std1 * std1 * n1 + delta * delta * n0 * n1 / n
+    return n, mean, (m2 / n) ** 0.5
+
+
+# -------------------------------------------------------------- frequency
+
+def frequency_partials(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(group..., cols..., cnt) — associative; merge = union + re-sum."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    keys = (group_cols or []) + cols
+    return df.groupBy(*keys).agg(F.sum(w).alias("cnt"))
+
+
+def merge_frequency_partials(*partials: DataFrame) -> DataFrame:
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+# --------------------------------------------------------------- distinct
+
+def hll_partials(df: DataFrame, col: str, group_cols: list[str] | None = None,
+                 lg_k: int = 12) -> DataFrame:
+    """Mergeable HyperLogLog sketch per group (Spark-native binary
+    sketch; union with hll_union_agg, read with hll_sketch_estimate)."""
+    return df.groupBy(*(group_cols or [])).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("hll")
+    )
+
+
+def merge_hll_partials(*partials: DataFrame) -> DataFrame:
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c != "hll"]
+    agg = F.hll_union_agg("hll").alias("hll")
+    return out.groupBy(*keys).agg(agg) if keys else out.agg(agg)
+
+
+def hll_estimate(partials: DataFrame) -> DataFrame:
+    keys = [c for c in partials.columns if c != "hll"]
+    return partials.select(
+        *keys, F.hll_sketch_estimate("hll").alias("approx_distinct")
+    )
+
+
+# -------------------------------------------------------------- histogram
+
+def histogram_partials(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram (mergeable quantile state). Bounds are part
+    of the checkpoint metadata; quantiles from the merged histogram are
+    exact to one bin width."""
+    x = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    bin_col = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).alias("bin")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(*(group_cols or []), bin_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(partials: DataFrame, q: float, lo: float, hi: float,
+                       bins: int = 1024) -> float:
+    """Approximate quantile from a (bin, cnt) histogram — driver-side
+    over at most `bins` rows."""
+    rows = sorted(
+        ((r["bin"], r["cnt"]) for r in partials.select("bin", "cnt").collect())
+    )
+    total = sum(c for _, c in rows)
+    if total == 0:
+        return float("nan")
+    target = q * total
+    acc = 0
+    width = (hi - lo) / bins
+    for b, c in rows:
+        acc += c
+        if acc >= target:
+            return lo + (b + 1) * width
+    return hi

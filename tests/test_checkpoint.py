@@ -1,0 +1,85 @@
+"""Checkpoint/resume: restored suite reproduces identical verdicts."""
+
+import pyspark.sql.functions as F
+
+from osas_spark.checkpoint import load_all_partials, load_suite, save_partials, save_suite
+from osas_spark.checks import (
+    CategoricalCheck, NumericCheck, ReferentialCheck, UniquenessCheck,
+)
+from osas_spark.datagen import lang_dict
+from osas_spark.sketch import finalize_numeric, merge_numeric_partials, numeric_partials
+from osas_spark.verdict import ValidationSuite
+
+
+def _make_suite(spark):
+    return ValidationSuite(
+        [
+            UniquenessCheck(["repo", "path", "commit"]),
+            ReferentialCheck("lang", lang_dict(spark)),
+            NumericCheck("clen", name="numeric_clen", stdev_outlier_threshold=4.0),
+            CategoricalCheck("lang", absolute_threshold=3, relative_threshold=0.001),
+        ],
+        partition_col="commit",
+    )
+
+
+def _verdict_map(suite, df):
+    out = suite.transform(df)
+    return {
+        (r["commit"], r["check"]): (r["violation_rows"], r["verdict"])
+        for r in suite.verdicts(out).collect()
+    }
+
+
+def test_suite_checkpoint_roundtrip(spark, code_files, tmp_path):
+    df = code_files.withColumn("clen", F.length("content"))
+    fitted = _make_suite(spark).fit(df)
+    expected = _verdict_map(fitted, df)
+
+    ckpt = str(tmp_path / "ckpt")
+    save_suite(fitted, ckpt, metrics={"rows": df.count()})
+
+    restored = load_suite(_make_suite(spark), ckpt, spark, df=df)
+    assert _verdict_map(restored, df) == expected
+
+
+def test_partials_checkpoint_resume(spark, code_files, tmp_path):
+    """Two batches checkpointed separately merge to the single-pass stats."""
+    df = code_files.withColumn("clen", F.length("content"))
+    pdir = str(tmp_path / "partials")
+    b1 = df.where(F.col("commit") <= "c000002")
+    b2 = df.where(F.col("commit") > "c000002")
+    save_partials(numeric_partials(b1, "clen", ["lang"]), pdir, "b1")
+    save_partials(numeric_partials(b2, "clen", ["lang"]), pdir, "b2")
+
+    resumed = finalize_numeric(
+        merge_numeric_partials(load_all_partials(spark, pdir))
+    )
+    whole = finalize_numeric(numeric_partials(df, "clen", ["lang"]))
+    r = {x["lang"]: (x["n"], round(x["mean"], 6), round(x["std"], 6))
+         for x in resumed.collect()}
+    w = {x["lang"]: (x["n"], round(x["mean"], 6), round(x["std"], 6))
+         for x in whole.collect()}
+    assert r == w
+
+
+def test_config_builds_suite(spark, code_files):
+    from osas_spark.config import suite_from_dict
+    from osas_spark.datagen import LANGS
+
+    spec = {
+        "partition_col": "commit",
+        "checks": [
+            {"type": "uniqueness", "keys": ["repo", "path", "commit"]},
+            {"type": "referential", "fk": "lang", "dim_values": LANGS},
+            {"type": "numeric", "field": "clen", "name": "numeric_clen"},
+            {"type": "categorical", "fields": ["lang"], "absolute_threshold": 3},
+            {"type": "regex", "field": "path",
+             "rules": [[r"\.py$", "PYTHON_FILE"]]},
+        ],
+    }
+    df = code_files.withColumn("clen", F.length("content"))
+    suite = suite_from_dict(spark, spec).fit(df)
+    out = suite.transform(df)
+    assert out.where(F.array_contains("labels", "PYTHON_FILE")).count() > 0
+    assert suite.verdicts(out).count() > 0

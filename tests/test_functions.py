@@ -1,0 +1,93 @@
+"""Unit tests for dedup / similarity / text-analysis operators."""
+
+import pyspark.sql.functions as F
+
+from osas_spark.functions.dedup import (
+    exact_duplicates, minhash_near_duplicates, ngram_jaccard_pairs,
+    simhash64, simhash_near_duplicates,
+)
+from osas_spark.functions.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from osas_spark.functions.textfns import lang_id_scores, quality_features, token_count
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup
+        (4, "completely different words nothing shared here at all today"),
+        (5, "der hund und die katze sind nicht zu haus"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark), "text", ["doc_id"]).collect()
+    assert len(d) == 1
+    assert d[0]["dup_count"] == 2
+    assert [m["doc_id"] for m in d[0]["members"]] == [1, 2]
+
+
+def test_simhash_identical_and_near(spark):
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark), "text").collect()}
+    assert h[1] == h[2]  # identical text -> identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_duplicates(_docs(spark), "doc_id", "text",
+                                              max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup within 16 bits
+
+
+def test_minhash_near_duplicates(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_near_duplicates(_docs(spark), "doc_id", "text",
+                                              threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert all(j >= 0.5 for j in pairs.values())
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                          n=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 share 7 of 10 distinct 3-grams each: J = 7/13
+    assert abs(pairs[(1, 3)] - 7 / 13) < 1e-9
+
+
+def test_cosine_topk_exact_vs_lsh(spark):
+    import math
+    rows = [(i, [math.cos(i * 0.3 + d) for d in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    assert len(exact) == 5
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in exact)
+    assert [r["rank"] for r in sorted(exact, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    approx = cosine_topk_lsh(emb, q, k=5, n_planes=4, multiprobe=2).collect()
+    # LSH candidates are a subset; top-1 recall on this smooth manifold
+    assert approx[0]["neighbor_id"] == exact[0]["neighbor_id"]
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, 42 times!"), (2, "")],
+        schema="doc_id long, text string",
+    )
+    ws, bpe = token_count("text")
+    r = {x["doc_id"]: (x["ws"], x["bpe"]) for x in
+         df.select("doc_id", ws.alias("ws"), bpe.alias("bpe")).collect()}
+    assert r[1] == (4, 6)   # [hello][world][,][42][times][!]
+    assert r[2] == (0, 0)
+    q = {x["doc_id"]: x for x in quality_features(df, "text").collect()}
+    assert 0.0 <= q[1]["quality_score"] <= 1.0
+    assert q[2]["quality_score"] <= 0.5
+
+
+def test_lang_id(spark):
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in lang_id_scores(_docs(spark), "text").collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[4] in ("und", "en")  # no strong stopword signal

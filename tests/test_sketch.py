@@ -1,0 +1,74 @@
+"""Sketch merge algebra: sharded-fit-then-merge == single-pass fit."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from osas_spark import sketch
+
+
+def test_numeric_partials_merge_equals_whole(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.37 % 100).alias("x"),
+    )
+    whole = sketch.finalize_numeric(sketch.numeric_partials(df, "x", ["g"]))
+    shard_a = df.where(F.col("id") < 3000)
+    shard_b = df.where((F.col("id") >= 3000) & (F.col("id") < 7000))
+    shard_c = df.where(F.col("id") >= 7000)
+    merged = sketch.finalize_numeric(
+        sketch.merge_numeric_partials(
+            sketch.numeric_partials(shard_a, "x", ["g"]),
+            sketch.numeric_partials(shard_b, "x", ["g"]),
+            sketch.numeric_partials(shard_c, "x", ["g"]),
+        )
+    )
+    w = {r["g"]: (r["n"], r["mean"], r["std"]) for r in whole.collect()}
+    m = {r["g"]: (r["n"], r["mean"], r["std"]) for r in merged.collect()}
+    assert w.keys() == m.keys()
+    for g in w:
+        assert w[g][0] == m[g][0]
+        assert math.isclose(w[g][1], m[g][1], rel_tol=1e-12)
+        assert math.isclose(w[g][2], m[g][2], rel_tol=1e-9)
+
+
+def test_frequency_partials_merge(spark):
+    df = spark.range(5000).select((F.col("id") % 13).cast("string").alias("v"))
+    whole = sketch.frequency_partials(df, ["v"])
+    merged = sketch.merge_frequency_partials(
+        sketch.frequency_partials(df.where("id % 2 = 0"), ["v"]),
+        sketch.frequency_partials(df.where("id % 2 = 1"), ["v"]),
+    )
+    assert {(r["v"], r["cnt"]) for r in whole.collect()} == \
+        {(r["v"], r["cnt"]) for r in merged.collect()}
+
+
+def test_hll_partials_merge(spark):
+    df = spark.range(20_000).select((F.col("id") % 5000).alias("v"))
+    whole = sketch.hll_estimate(sketch.hll_partials(df, "v")).collect()[0][0]
+    merged_sketch = sketch.merge_hll_partials(
+        sketch.hll_partials(df.where("id < 8000"), "v"),
+        sketch.hll_partials(df.where("id >= 8000"), "v"),
+    )
+    merged = sketch.hll_estimate(merged_sketch).collect()[0][0]
+    assert merged == whole  # identical sketches -> identical estimate
+    assert abs(merged - 5000) / 5000 < 0.05
+
+
+def test_reference_merge_quirk_documented():
+    """The reference formula drops the between-means term; the exact
+    Chan merge keeps it (SURVEY §4). Two batches with different means
+    expose the bias."""
+    n0, mu0, sd0 = 100.0, 0.0, 1.0
+    n1, mu1, sd1 = 100.0, 10.0, 1.0
+    _, _, sd_ref = sketch.merge_numeric_reference_mode(n0, mu0, sd0, n1, mu1, sd1)
+    _, _, sd_exact = sketch.merge_numeric_exact(n0, mu0, sd0, n1, mu1, sd1)
+    assert math.isclose(sd_ref, 1.0, rel_tol=1e-9)          # biased low
+    assert math.isclose(sd_exact, math.sqrt(26.0), rel_tol=1e-9)
+
+
+def test_histogram_quantile(spark):
+    df = spark.range(10_000).select((F.col("id") / 100.0).alias("x"))
+    h = sketch.histogram_partials(df, "x", lo=0.0, hi=100.0, bins=1000)
+    q50 = sketch.histogram_quantile(h, 0.5, 0.0, 100.0, bins=1000)
+    assert abs(q50 - 50.0) < 0.2

@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry at a given sf_dir via Spark, the matching
+oracle_sql() via DuckDB over the same parquet, and compares row count,
+column-name set, and an order-insensitive value multiset (columns
+sorted by name, values canonicalized to strings, rows sorted).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in data)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as se
+    from osas_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            pdf = df.toPandas()
+            s_cols = list(pdf.columns)
+            s_rows = _rows(s_cols, pdf.itertuples(index=False, name=None))
+        except Exception as e:  # noqa: BLE001
+            print(f"[SPARK-ERROR] {name}: {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"[ROWS-ONLY ] {name}: {len(s_rows)} rows, cols={s_cols}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = _rows(o_cols, res.fetchall())
+        except Exception as e:  # noqa: BLE001
+            print(f"[ORACLE-ERR] {name}: {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+        if not problems and s_rows != o_rows:
+            diff_s = [r for r in s_rows if r not in set(o_rows)][:3]
+            diff_o = [r for r in o_rows if r not in set(s_rows)][:3]
+            problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
+        if problems:
+            print(f"[MISMATCH  ] {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"[OK        ] {name}: {len(s_rows)} rows")
+    print(f"\n{len(failed)} failures: {failed}" if failed else "\nALL MATCH")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
