@@ -776,6 +776,108 @@ FROM t
 """
 
 
+def _text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram LM perplexity + stdev bands (reference TextField,
+    A9-A11 — with the reference's perplexity-stats loop bug fixed)."""
+    from osas_spark.checks.text import TextCheck
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = TextCheck("text", id_cols=["doc_id"], mode="word",
+                   ngram_range=(2, 2)).fit(docs)
+    out = tc.apply(docs)
+    return out.select(
+        "doc_id",
+        F.round(F.col(f"_{tc.name}_perplexity"), 4).alias("perplexity"),
+        F.element_at(F.col(tc.label_col), 1).alias("band"),
+    )
+
+
+_TEXT_PERPLEXITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(text, '([^\w\s])', ' \1 ', 'g')), '\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+),
+uni AS (SELECT unnest(toks) AS tok FROM tok),
+vocab AS (SELECT list(tok) AS vl FROM (
+  SELECT tok FROM uni GROUP BY tok HAVING count(*) > 2)),
+mapped AS (
+  SELECT t.doc_id,
+         list_transform(t.toks,
+           tok -> CASE WHEN list_contains(v.vl, tok) THEN tok
+                       ELSE '<UNK>' END) AS toks
+  FROM tok t, vocab v
+),
+grams AS (
+  SELECT doc_id,
+         unnest([array_to_string((['<s>'] || toks || ['</s>'])[i:i+1], '')
+                 for i in range(1, greatest(len(toks) + 1, 1) + 1)]) AS g
+  FROM mapped
+),
+counts AS (SELECT g, count(*)::DOUBLE AS c FROM grams GROUP BY g),
+tot AS (SELECT sum(c) AS total FROM counts),
+px AS (
+  SELECT doc_id, exp(avg(-ln(c / total))) AS p
+  FROM grams JOIN counts USING (g), tot GROUP BY doc_id
+),
+st AS (
+  SELECT avg(p) AS m,
+         CASE WHEN stddev_pop(p) <= 0 THEN 0.01 ELSE stddev_pop(p) END AS s
+  FROM px
+)
+SELECT doc_id, round(p, 4) AS perplexity,
+       CASE WHEN abs(p - m) / s >= 2.0 THEN 'TEXT_TEXT_PERPLEXITY_OUTLIER'
+            WHEN abs(p - m) / s > 1.0 THEN 'TEXT_TEXT_PERPLEXITY_BORDERLINE'
+            ELSE 'TEXT_TEXT_PERPLEXITY_NORMAL' END AS band
+FROM px, st
+"""
+
+
+def _label_combo_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-combination NLL anomaly score (reference
+    StatisticalNGramAnomaly, A12) over a two-label set per event."""
+    from osas_spark.scoring import NGramCombinationScorer
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") >= 50, "HI").otherwise("LO"),
+        ).alias("labels"),
+    )
+    scorer = NGramCombinationScorer("labels", max_order=2).fit(ev)
+    return scorer.score(ev, id_cols=["event_id"]).select(
+        "event_id", F.round("score", 4).alias("score")
+    )
+
+
+_LABEL_COMBO_NLL_SQL = """
+WITH lab AS (
+  SELECT event_id,
+         list_sort([event_type,
+                    CASE WHEN value >= 50 THEN 'HI' ELSE 'LO' END]) AS ls
+  FROM events
+),
+combos AS (
+  SELECT event_id, unnest([ls[1], ls[2], ls[1] || '|' || ls[2]]) AS combo
+  FROM lab
+),
+counts AS (
+  SELECT combo, len(string_split(combo, '|')) AS ord, count(*)::DOUBLE AS c
+  FROM combos GROUP BY 1
+),
+tot AS (SELECT ord, sum(c) AS total FROM counts GROUP BY 1),
+nll AS (
+  SELECT combo, -ln(c / total) AS nll
+  FROM counts JOIN tot USING (ord)
+)
+SELECT event_id, round(sum(nll), 4) AS score
+FROM combos JOIN nll USING (combo) GROUP BY 1
+"""
+
+
 # =====================================================================
 # relational / window workload (agg + join + window engine coverage)
 # =====================================================================
@@ -917,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "text_quality": _text_quality,
+        "text_perplexity": _text_perplexity,
+        "label_combo_nll": _label_combo_nll,
         "lang_id": _lang_id,
         "doc_fingerprint": _doc_fingerprint,
         "tpch_q1": _tpch_q1,
@@ -945,6 +1049,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
+        "text_perplexity": _TEXT_PERPLEXITY_SQL,
+        "label_combo_nll": _LABEL_COMBO_NLL_SQL,
         "lang_id": _build_lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "tpch_q1": _TPCH_Q1_SQL,

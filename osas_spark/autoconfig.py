@@ -1,0 +1,81 @@
+"""suggest_checks — automatic suite-spec generation from a profile.
+
+Reimplements the reference's autoconfig (reference src/osas/main/
+autoconfig.py:43-103): infer a semantic type per column — numeric,
+multinomial (distinct/count < 0.1, ":65-74"), or text — then propose
+NumericField / MultinomialField / TextField analogues plus pairwise
+combiners over the multinomial columns (":93-99"). Output is a spec
+dict for config.suite_from_dict (typed; the reference emits INI).
+
+One aggregation pass decides everything: count, null rate, HLL
+distinct, numeric-castability rate — no per-column rescans.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MULTINOMIAL_DISTINCT_RATIO = 0.1   # reference autoconfig.py:74
+
+
+def infer_column_types(df: DataFrame, cols: list[str] | None = None) -> dict[str, str]:
+    """column -> 'numeric' | 'multinomial' | 'text', from one agg pass."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        v = F.col(c)
+        aggs += [
+            F.sum(v.isNotNull().cast("long")).alias(f"{c}__nn"),
+            F.sum((v.isNotNull() & v.try_cast("double").isNotNull()).cast("long"))
+            .alias(f"{c}__num"),
+            F.approx_count_distinct(c).alias(f"{c}__d"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = {}
+    for c in cols:
+        nn, num, d = row[f"{c}__nn"], row[f"{c}__num"], row[f"{c}__d"]
+        if nn > 0 and num == nn:
+            out[c] = "numeric"
+        elif nn > 0 and d / nn < MULTINOMIAL_DISTINCT_RATIO:
+            out[c] = "multinomial"
+        else:
+            out[c] = "text"
+    return out
+
+
+def suggest_checks(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    partition_col: str | None = None,
+    max_pairs: int = 10,
+) -> dict:
+    """Build a suite spec: numeric -> numeric check, multinomial ->
+    categorical check, text -> text check, plus pairwise combiners over
+    multinomial columns (reference autoconfig.py:84-103)."""
+    types = infer_column_types(df)
+    checks: list[dict] = []
+    multinomial = []
+    for c, t in types.items():
+        if t == "numeric":
+            checks.append({"type": "numeric", "field": c})
+        elif t == "multinomial":
+            multinomial.append(c)
+            checks.append({"type": "categorical", "fields": [c]})
+        elif id_cols and c in id_cols:
+            continue
+        else:
+            spec = {"type": "text", "field": c}
+            if id_cols:
+                spec["id_cols"] = id_cols
+            checks.append(spec)
+    for a, b in list(combinations(sorted(multinomial), 2))[:max_pairs]:
+        checks.append({"type": "categorical", "fields": [a, b]})
+    if id_cols:
+        checks.insert(0, {"type": "uniqueness", "keys": list(id_cols)})
+    spec: dict = {"checks": checks}
+    if partition_col:
+        spec["partition_col"] = partition_col
+    return spec

@@ -127,7 +127,10 @@ class NumericCheck(Check):
     def apply(self, df: DataFrame) -> DataFrame:
         fname = self.field.upper()
         raw = F.col(self.field)
-        x = raw.cast("double")
+        # try_cast: ANSI-safe coercion — malformed values become NULL
+        # (the reference's float() fallback, label_generators.py:442-445)
+        # instead of failing the job
+        x = raw.try_cast("double")
         bad = raw.isNotNull() & x.isNull()  # present but not numeric
         bad_arr = F.array(F.lit(f"{fname}_BAD_VALUE"))
 

@@ -1,0 +1,180 @@
+"""Text n-gram language-model check — perplexity-based anomaly labels.
+
+Reimplements the reference's TextField label generator
+(reference src/osas/core/label_generators.py:501-651) Spark-first:
+
+  fit:   tokenize (char or word mode, utils.py:19-40 semantics),
+         build vocabulary = unigrams with count > 2 (":534-548"),
+         map OOV tokens to <UNK>, pad with <s>/</s>, count n-grams of
+         orders lo..hi (":550-562,627-651"), then profile the
+         training perplexity distribution (mean/std) — computed
+         CORRECTLY over all rows (the reference has a loop bug that
+         reuses the last row, ":569-571"; we do not replicate it).
+  apply: per-row perplexity = exp(mean over n-grams of -ln p(ngram)),
+         unseen n-grams get the -ln(1e-8) penalty (":584-599"), then
+         stdev-band labels over the perplexity
+         (TEXT_<FIELD>_PERPLEXITY_{NORMAL,BORDERLINE,OUTLIER}).
+
+Scale design: the model is a (ngram, order, cnt, total) DataFrame —
+counts come from ONE explode + groupBy per phase (map-side partial agg
+collapses duplicate n-grams before the shuffle). Scoring joins the
+exploded (id, ngram) pairs against the model (broadcast while it fits)
+and re-aggregates per row id; the wide text column never rides along
+the explode. A caller-supplied unique id column keeps the join-back
+deterministic under any partitioning (no monotonically_increasing_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+UNSEEN_PENALTY = 1e-8  # reference label_generators.py:598
+
+
+def _tokens(col: F.Column, mode: str) -> F.Column:
+    """Token array. char mode: every character; word mode: split on
+    whitespace after padding punctuation (utils.py:19-40)."""
+    if mode == "char":
+        return F.split(col, "")
+    cleaned = F.regexp_replace(col, r"([^\w\s])", r" $1 ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def _ngrams(tokens: F.Column, order: int) -> F.Column:
+    """All n-grams of one order over <s>/</s>-padded, vocab-mapped
+    tokens; JVM-side sequence+transform+slice."""
+    padded = F.concat(
+        F.array(*[F.lit("<s>")] * (order - 1)) if order > 1 else F.array().cast("array<string>"),
+        tokens,
+        F.array(F.lit("</s>")),
+    )
+    n = F.greatest(F.size(padded) - order + 1, F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.transform(idx, lambda i: F.concat_ws("", F.slice(padded, i, order)))
+
+
+class TextCheck(Check):
+    """N-gram LM + perplexity bands over a text column."""
+
+    def __init__(
+        self,
+        field_name: str,
+        id_cols: list[str],
+        mode: str = "word",               # word | char
+        ngram_range: tuple[int, int] = (2, 3),
+        min_vocab_count: int = 2,          # reference :546-548 (count > 2)
+        stdev_borderline_threshold: float = 1.0,
+        stdev_outlier_threshold: float = 2.0,
+        name: str | None = None,
+    ):
+        assert mode in ("word", "char")
+        self.field = field_name
+        self.id_cols = list(id_cols)
+        self.mode = mode
+        self.lo, self.hi = ngram_range
+        self.min_vocab = min_vocab_count
+        self.sb, self.so = stdev_borderline_threshold, stdev_outlier_threshold
+        self.name = name or f"text_{field_name}"
+        self._vocab: DataFrame | None = None
+        self._model: DataFrame | None = None   # (ngram, order, cnt, total)
+        self._px_stats: tuple[float, float] | None = None
+
+    # ------------------------------------------------------------ internals
+    def _vocab_mapped(self, df: DataFrame) -> DataFrame:
+        """(id..., toks) with OOV tokens replaced by <UNK> via an
+        explode + broadcast-join + collect_list round trip — the join
+        keeps the vocabulary distributed (no driver-side set)."""
+        toks = _tokens(F.col(self.field).cast("string"), self.mode)
+        base = df.select(*self.id_cols, F.posexplode(toks).alias("pos", "tok"))
+        mapped = (
+            base.join(F.broadcast(self._vocab), on="tok", how="left")
+            .withColumn("tok2", F.when(F.col("__in_vocab").isNull(), "<UNK>")
+                        .otherwise(F.col("tok")))
+        )
+        return (
+            mapped.groupBy(*self.id_cols)
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "tok2"))).alias("pt"))
+            .withColumn("toks", F.transform("pt", lambda s: s["tok2"]))
+            .drop("pt")
+        )
+
+    def _all_ngrams(self, with_toks: DataFrame) -> DataFrame:
+        """(id..., order, ngram) exploded across configured orders."""
+        parts = []
+        for order in range(self.lo, self.hi + 1):
+            parts.append(
+                with_toks.select(
+                    *self.id_cols,
+                    F.lit(order).alias("order"),
+                    F.explode(_ngrams(F.col("toks"), order)).alias("ngram"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _perplexity(self, df: DataFrame) -> DataFrame:
+        """(id..., perplexity) for every row of df."""
+        grams = self._all_ngrams(self._vocab_mapped(df))
+        joined = grams.join(F.broadcast(self._model), on=["order", "ngram"], how="left")
+        nll = F.when(
+            F.col("cnt").isNull(), -F.log(F.lit(UNSEEN_PENALTY))
+        ).otherwise(-F.log(F.col("cnt") / F.col("total")))
+        return (
+            joined.select(*self.id_cols, nll.alias("nll"))
+            .groupBy(*self.id_cols)
+            .agg(F.exp(F.avg("nll")).alias("perplexity"))
+        )
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, df: DataFrame) -> "TextCheck":
+        toks = _tokens(F.col(self.field).cast("string"), self.mode)
+        unigrams = df.select(F.explode(toks).alias("tok"))
+        self._vocab = (
+            unigrams.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > self.min_vocab)
+            .select("tok", F.lit(1).alias("__in_vocab"))
+        )
+        grams = self._all_ngrams(self._vocab_mapped(df))
+        counts = grams.groupBy("order", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+        totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
+        self._model = counts.join(F.broadcast(totals), on="order")
+        px = self._perplexity(df)
+        row = px.agg(
+            F.avg("perplexity").alias("m"), F.stddev_pop("perplexity").alias("s")
+        ).collect()[0]
+        std = row["s"] if row["s"] and row["s"] > 0 else 0.01
+        self._px_stats = (float(row["m"]), float(std))
+        return self
+
+    # ---------------------------------------------------------------- apply
+    def apply(self, df: DataFrame) -> DataFrame:
+        mean, std = self._px_stats
+        px = self._perplexity(df).withColumnRenamed("perplexity", "__px")
+        joined = df.join(px, on=self.id_cols, how="left")
+        fname = self.field.upper()
+        ratio = F.abs(F.col("__px") - F.lit(mean)) / F.lit(std)
+        labels = (
+            F.when(F.col("__px").isNull(), F.array().cast("array<string>"))
+            .when(ratio >= self.so, F.array(F.lit(f"TEXT_{fname}_PERPLEXITY_OUTLIER")))
+            .when(ratio > self.sb, F.array(F.lit(f"TEXT_{fname}_PERPLEXITY_BORDERLINE")))
+            .otherwise(F.array(F.lit(f"TEXT_{fname}_PERPLEXITY_NORMAL")))
+        )
+        return joined.withColumn(self.label_col, labels).withColumnRenamed(
+            "__px", f"_{self.name}_perplexity"
+        )
+
+    def violation_labels(self) -> list[str]:
+        return [f"TEXT_{self.field.upper()}_PERPLEXITY_OUTLIER"]
+
+    def model_dict(self) -> dict:
+        return {
+            "field": self.field, "mode": self.mode,
+            "ngram_range": [self.lo, self.hi],
+            "px_stats": list(self._px_stats) if self._px_stats else None,
+        }

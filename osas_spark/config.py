@@ -71,6 +71,13 @@ def build_check(spark: SparkSession, spec: dict):
     if t == "regex":
         pairs = [tuple(p) for p in spec["rules"]]
         return RegexLabelCheck(spec["field"], pairs, name=spec.get("name"))
+    if t == "text":
+        from osas_spark.checks.text import TextCheck
+
+        kwargs = {k: v for k, v in spec.items() if k not in ("type", "field", "id_cols")}
+        if "ngram_range" in kwargs:
+            kwargs["ngram_range"] = tuple(kwargs["ngram_range"])
+        return TextCheck(spec["field"], id_cols=spec["id_cols"], **kwargs)
     raise ValueError(f"unknown check type: {t!r}")
 
 

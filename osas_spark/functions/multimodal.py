@@ -1,0 +1,176 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media rides through the engine as opaque `binary` columns with a typed
+metadata struct; every transform is an Arrow-batched `mapInPandas` /
+`pandas_udf` so bytes never cross the JVM<->Python boundary row by row.
+
+The actual codecs (PIL/libav/ffmpeg) are NOT available in this
+container, so the decode step is STUBBED behind `set_decoder(...)`:
+by default a clearly-marked deterministic fake decoder parses our own
+synthetic header (see `synth_media`) — the Spark-side plumbing
+(schemas, batch iteration, partition sizing, UDF signatures) is real
+and tested; swapping in a real codec is a one-function change.
+
+Scale notes: media batches are large — callers should size partitions
+by bytes (spark.sql.files.maxPartitionBytes) not rows, and mapInPandas
+yields per-batch so a partition never materializes fully in Python
+memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType, StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_type", StringType()),   # image | audio | video
+    StructField("codec", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+])
+
+_MAGIC = b"SYNM"  # synthetic media container magic
+
+
+# ----------------------------------------------------------- synthesis
+
+def synth_media_bytes(seed: int, media_type: str = "image",
+                      width: int = 32, height: int = 32,
+                      n_frames: int = 1) -> bytes:
+    """Deterministic fake media blob: a 24-byte header + seeded payload.
+    Stands in for real encoded bytes in tests and fixtures."""
+    header = _MAGIC + struct.pack(
+        "<BxHHHxx", {"image": 0, "audio": 1, "video": 2}[media_type],
+        width, height, n_frames,
+    ) + struct.pack("<q", seed)
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, size=width * height, dtype=np.uint8).tobytes()
+    return header + payload
+
+
+def synth_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
+    """(media_id, blob binary, meta struct) fixture, driver-synthesized
+    deterministically (small by construction; real pipelines read blobs
+    from parquet/Iceberg binary columns)."""
+    rows = []
+    for i in range(n_rows):
+        mt = ["image", "audio", "video"][i % 3]
+        blob = synth_media_bytes(seed + i, mt, 32, 32, 8 if mt == "video" else 1)
+        rows.append((i, blob, (mt, "synm", 32, 32,
+                               8 if mt == "video" else 1, 16000)))
+    return spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("media_id", IntegerType()),
+            StructField("blob", BinaryType()),
+            StructField("meta", MEDIA_META_SCHEMA),
+        ]),
+    )
+
+
+# -------------------------------------------------------------- decode
+
+def _fake_decode(blob: bytes) -> np.ndarray:
+    """Parse the synthetic container -> (H, W) uint8 array. Raises on
+    anything that is not SYNM: a real deployment must install a codec
+    via set_decoder()."""
+    if blob is None or blob[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding needs an image/audio codec (PIL/libav), "
+            "which this environment does not ship — install one and call "
+            "multimodal.set_decoder(fn); the SYNM fake covers tests only"
+        )
+    _mt, w, h, _nf = struct.unpack("<BxHHHxx", blob[4:14])
+    arr = np.frombuffer(blob[22:22 + w * h], dtype=np.uint8)
+    return arr.reshape(h, w)
+
+
+_DECODER: Callable[[bytes], np.ndarray] = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes], np.ndarray]) -> None:
+    """Swap in a real codec (e.g. PIL.Image.open -> np.asarray)."""
+    global _DECODER
+    _DECODER = fn
+
+
+# ----------------------------------------------------- feature extract
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", IntegerType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("mean_intensity", FloatType()),
+    StructField("std_intensity", FloatType()),
+    StructField("edge_density", FloatType()),
+])
+
+
+def extract_features(df: DataFrame, id_col: str = "media_id",
+                     blob_col: str = "blob") -> DataFrame:
+    """Decode + per-item features via mapInPandas (one Python process
+    per partition, Arrow batches in and out)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_bytes": [], "mean_intensity": [],
+                   "std_intensity": [], "edge_density": []}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = _DECODER(bytes(blob)).astype(np.float32)
+                dx = np.abs(np.diff(arr, axis=1)).mean() if arr.shape[1] > 1 else 0.0
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(blob))
+                out["mean_intensity"].append(float(arr.mean()))
+                out["std_intensity"].append(float(arr.std()))
+                out["edge_density"].append(float(dx) / 255.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def resize(df: DataFrame, out_w: int, out_h: int,
+           id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """Nearest-neighbor resize -> (media_id, pixels array<float>) — the
+    shape a downstream embedding model consumes."""
+    schema = StructType([
+        StructField("media_id", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = _DECODER(bytes(blob))
+                ys = (np.arange(out_h) * arr.shape[0] // out_h)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w)
+                small = arr[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                ids.append(mid)
+                pix.append(small.ravel().tolist())
+            yield pd.DataFrame({"media_id": ids, "pixels": pix})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2,
+                  id_col: str = "media_id", blob_col: str = "blob",
+                  meta_col: str = "meta") -> DataFrame:
+    """Frame sampling for video blobs: one output row per kept frame
+    index (decode of individual frames delegated to the decoder).
+    Frame selection itself is pure column algebra — no Python."""
+    nf = F.col(f"{meta_col}.n_frames")
+    frames = F.sequence(F.lit(0), F.greatest(nf - 1, F.lit(0)), F.lit(every_n))
+    return (
+        df.where(F.col(f"{meta_col}.media_type") == "video")
+        .select(id_col, blob_col, F.explode(frames).alias("frame_idx"))
+    )

@@ -1,0 +1,99 @@
+"""spark-submit entry point — two-phase orchestration + sinks.
+
+Reference analogues: train_pipeline.py (fit + persist model),
+run_pipeline.py (restore + label + score + save), apply_rules.py
+(rule post-pass) — unified into subcommands:
+
+  spark-submit --py-files osas_spark.zip -m osas_spark.runner \
+      fit   --config suite.yaml --input t.parquet --checkpoint ck/
+      score --config suite.yaml --input t.parquet --checkpoint ck/ \
+            --violations out/violations --verdicts out/verdicts \
+            [--scored out/scored]
+
+The Elasticsearch sink of the reference (run_pipeline.py:47-57) is
+replaced by pluggable parquet sinks (violations / verdicts / scored
+rows); anything downstream reads tables, not a search index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from osas_spark.checkpoint import load_suite, save_suite
+from osas_spark.config import suite_from_yaml
+from osas_spark.session import get_spark
+
+
+def _read(spark, path: str):
+    if path.endswith(".csv"):
+        return spark.read.csv(path, header=True, inferSchema=False)
+    return spark.read.parquet(path)
+
+
+def cmd_fit(args) -> None:
+    spark = get_spark(app_name="osas_fit", master=args.master)
+    df = _read(spark, args.input)
+    suite = suite_from_yaml(spark, args.config).fit(df)
+    metrics = {"rows": df.count(), "input": args.input}
+    save_suite(suite, args.checkpoint, metrics=metrics)
+    print(json.dumps({"status": "fitted", **metrics}))
+
+
+def cmd_score(args) -> None:
+    spark = get_spark(app_name="osas_score", master=args.master)
+    df = _read(spark, args.input)
+    suite = suite_from_yaml(spark, args.config)
+    if args.checkpoint:
+        suite = load_suite(suite, args.checkpoint, spark, df=df)
+    else:
+        suite.fit(df)
+    out = suite.transform(df)
+    if args.scored:
+        out.withColumn("labels", F.to_json("labels")).write.mode(
+            "overwrite"
+        ).parquet(args.scored)
+    if args.violations:
+        suite.violations(out).write.mode("overwrite").parquet(args.violations)
+    verdicts = suite.verdicts(out)
+    if args.verdicts:
+        verdicts.write.mode("overwrite").parquet(args.verdicts)
+    rows = [r.asDict() for r in verdicts.collect()]
+    n_fail = sum(1 for r in rows if r["verdict"] == "FAIL")
+    print(json.dumps({"status": "scored", "verdict_rows": len(rows),
+                      "failed": n_fail}))
+    if args.fail_on_violation and n_fail:
+        sys.exit(2)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="osas_spark.runner")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fit", help="phase 1: profile + checkpoint")
+    f.add_argument("--config", required=True)
+    f.add_argument("--input", required=True)
+    f.add_argument("--checkpoint", required=True)
+    f.set_defaults(fn=cmd_fit)
+
+    s = sub.add_parser("score", help="phase 2: label + verdicts + sinks")
+    s.add_argument("--config", required=True)
+    s.add_argument("--input", required=True)
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--violations", default=None)
+    s.add_argument("--verdicts", default=None)
+    s.add_argument("--scored", default=None)
+    s.add_argument("--fail-on-violation", action="store_true")
+    s.set_defaults(fn=cmd_score)
+
+    args = p.parse_args(argv)
+    # argparse puts --master on the namespace for both subcommands
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Anomaly scoring over label sets — the reference's scorer stage,
+reimagined as distributed column algebra.
+
+NGramCombinationScorer reimplements StatisticalNGramAnomaly
+(reference src/osas/core/anomaly.py:222-368):
+
+  fit:   per row, sort the labels (order-insensitivity, ":250,312"),
+         enumerate all 1-, 2- and 3-element COMBINATIONS (not
+         sequences, ":250-284"), count each combo and each order's
+         TOTAL, convert to NEG_LOG_PROB = -ln(count/total) (":287-293").
+  score: per row, sum the NLL of every combination; combinations never
+         seen in training cost -ln(1e-8) each (":336-348").
+
+The reference's in-memory combo->NLL dict becomes a broadcast join;
+combination enumeration is pure JVM array algebra (nested
+F.transform + flatten over index sequences) — no Python per row.
+
+The reference's sklearn scorers (IsolationForest / LOF / SVD,
+anomaly.py:26-218) are intentionally NOT ported: the drift checks
+(checks/drift.py) are the statistically-grounded replacement per
+SURVEY §4/§7, and this NLL scorer covers the label-distribution use.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNSEEN_PENALTY = 1e-8  # reference anomaly.py:348
+
+
+def _combos(labels: F.Column, max_order: int = 3) -> F.Column:
+    """Array of combo-key strings: all k-element combinations
+    (k <= max_order) of the SORTED label array, joined with '|'.
+    i<j<k index nesting keeps combinations (not permutations)."""
+    s = F.array_sort(F.array_distinct(labels))
+    n = F.size(s)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
+    one = F.transform(s, lambda x: x)
+    parts = [one]
+    if max_order >= 2:
+        two = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.greatest(n, i + 1)),
+                    lambda j: F.when(
+                        j <= n,
+                        F.concat_ws("|", F.element_at(s, i), F.element_at(s, j)),
+                    ),
+                ),
+            )
+        )
+        parts.append(F.filter(two, lambda x: x.isNotNull()))
+    if max_order >= 3:
+        three = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.flatten(
+                    F.transform(
+                        F.sequence(i + 1, F.greatest(n, i + 1)),
+                        lambda j: F.transform(
+                            F.sequence(j + 1, F.greatest(n, j + 1)),
+                            lambda k: F.when(
+                                (j <= n) & (k <= n) & (j > i) & (k > j),
+                                F.concat_ws(
+                                    "|",
+                                    F.element_at(s, i),
+                                    F.element_at(s, j),
+                                    F.element_at(s, k),
+                                ),
+                            ),
+                        ),
+                    )
+                ),
+            )
+        )
+        parts.append(F.filter(three, lambda x: x.isNotNull()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return F.when(n > 0, out).otherwise(F.array().cast("array<string>"))
+
+
+class NGramCombinationScorer:
+    """fit(df) on a labels column, then score(df) -> df + score column."""
+
+    def __init__(
+        self,
+        labels_col: str = "labels",
+        id_cols: list[str] | None = None,
+        max_order: int = 3,
+        score_col: str = "score",
+    ):
+        self.labels_col = labels_col
+        self.id_cols = id_cols
+        self.max_order = max_order
+        self.score_col = score_col
+        self._model: DataFrame | None = None  # (combo, order, cnt, total, nll)
+
+    def fit(self, df: DataFrame) -> "NGramCombinationScorer":
+        combos = df.select(
+            F.explode(_combos(F.col(self.labels_col), self.max_order)).alias("combo")
+        )
+        with_order = combos.withColumn(
+            "order", F.size(F.split(F.col("combo"), r"\|"))
+        )
+        counts = with_order.groupBy("order", "combo").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
+        self._model = counts.join(F.broadcast(totals), on="order").withColumn(
+            "nll", -F.log(F.col("cnt") / F.col("total"))
+        )
+        return self
+
+    def combo_table(self) -> DataFrame:
+        return self._model
+
+    def score(self, df: DataFrame, id_cols: list[str] | None = None) -> DataFrame:
+        """Adds `score` = sum of combo NLLs (unseen combos cost
+        -ln(1e-8) each). Requires unique id columns for the join-back."""
+        ids = id_cols or self.id_cols
+        assert ids, "pass id_cols (unique row key) for the score join-back"
+        exploded = df.select(
+            *ids, F.explode(_combos(F.col(self.labels_col), self.max_order)).alias("combo")
+        )
+        joined = exploded.join(
+            F.broadcast(self._model.select("combo", "nll")), on="combo", how="left"
+        )
+        per_row = joined.groupBy(*ids).agg(
+            F.sum(
+                F.coalesce(F.col("nll"), F.lit(-math.log(UNSEEN_PENALTY)))
+            ).alias(self.score_col)
+        )
+        return df.join(per_row, on=ids, how="left").fillna({self.score_col: 0.0})

@@ -156,7 +156,7 @@ def grouped_numeric_stats(
     Single pass via E[x^2] - E[x]^2 on weighted sums (vs the reference's
     two passes).
     """
-    x = F.col(value_col).cast("double")
+    x = F.col(value_col).try_cast("double")  # ANSI-safe: bad values -> null
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     agg = (
         df.where(x.isNotNull())

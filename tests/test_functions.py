@@ -85,6 +85,20 @@ def test_token_count_and_quality(spark):
     assert q[2]["quality_score"] <= 0.5
 
 
+def test_numeric_bad_value_ansi_safe(spark):
+    """Non-numeric strings label BAD_VALUE (reference P2) instead of
+    crashing under Spark 4 ANSI cast semantics."""
+    from osas_spark.checks import NumericCheck
+
+    df = spark.createDataFrame(
+        [("1.0",), ("2.0",), ("3.0",), ("oops",), (None,)], schema="v string"
+    )
+    nc = NumericCheck("v", name="nv").fit(df)
+    out = {r["v"]: list(r[nc.label_col]) for r in nc.apply(df).collect()}
+    assert out["oops"] == ["V_BAD_VALUE"]
+    assert out["2.0"] == ["V_NORMAL"]
+
+
 def test_lang_id(spark):
     out = {r["doc_id"]: r["lang_pred"]
            for r in lang_id_scores(_docs(spark), "text").collect()}

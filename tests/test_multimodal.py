@@ -1,0 +1,49 @@
+"""Multimodal plumbing: binary columns + mapInPandas transforms with the
+deterministic SYNM fake decoder (real codecs absent in this env)."""
+
+import pytest
+
+from osas_spark.functions import multimodal as mm
+
+
+def test_synth_media_shape(spark):
+    df = mm.synth_media(spark, n_rows=30)
+    assert df.schema["blob"].dataType.typeName() == "binary"
+    assert df.count() == 30
+    r = df.where("media_id = 0").first()
+    assert r["meta"]["media_type"] == "image"
+    assert bytes(r["blob"])[:4] == b"SYNM"
+
+
+def test_extract_features(spark):
+    df = mm.synth_media(spark, n_rows=30)
+    feats = mm.extract_features(df).collect()
+    assert len(feats) == 30
+    for f in feats:
+        assert 0 <= f["mean_intensity"] <= 255
+        assert 0.0 <= f["edge_density"] <= 1.0
+    # deterministic: same seed -> same features
+    again = mm.extract_features(mm.synth_media(spark, n_rows=30)).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_resize_batch_shape(spark):
+    df = mm.synth_media(spark, n_rows=9)
+    out = mm.resize(df, out_w=8, out_h=8).collect()
+    assert len(out) == 9
+    assert all(len(r["pixels"]) == 64 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r["pixels"])
+
+
+def test_sample_frames_column_algebra(spark):
+    df = mm.synth_media(spark, n_rows=9)  # every 3rd row is video, 8 frames
+    out = mm.sample_frames(df, every_n=2).collect()
+    vids = {r["media_id"] for r in out}
+    assert vids == {2, 5, 8}
+    per = [r["frame_idx"] for r in out if r["media_id"] == 2]
+    assert sorted(per) == [0, 2, 4, 6]
+
+
+def test_real_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        mm._fake_decode(b"\x89PNG\r\n\x1a\n garbage")

@@ -1,0 +1,102 @@
+"""TextCheck (n-gram LM perplexity), NGramCombinationScorer, autoconfig,
+and the runner CLI."""
+
+import json
+import math
+
+import pyspark.sql.functions as F
+
+from osas_spark.checks.text import TextCheck
+from osas_spark.scoring import NGramCombinationScorer
+
+
+def test_text_check_flags_odd_document(spark):
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(20)]
+    rows.append((99, "zzz qqq vvv kkk www yyy xxx uuu ttt sss"))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    tc = TextCheck("text", id_cols=["doc_id"], mode="word",
+                   ngram_range=(2, 2)).fit(df)
+    out = {r["doc_id"]: (r[f"_{tc.name}_perplexity"], r[tc.label_col][0])
+           for r in tc.apply(df).collect()}
+    assert out[99][0] > out[0][0] * 2          # OOV doc has far higher px
+    assert out[99][1] == "TEXT_TEXT_PERPLEXITY_OUTLIER"
+    assert out[0][1] == "TEXT_TEXT_PERPLEXITY_NORMAL"
+
+
+def test_ngram_combination_scorer_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["a", "c"])],
+        schema="id long, labels array<string>",
+    )
+    scorer = NGramCombinationScorer("labels", max_order=2).fit(df)
+    model = {(r["combo"], r["order"]): (r["cnt"], r["total"])
+             for r in scorer.combo_table().collect()}
+    assert model[("a", 1)] == (3, 6)
+    assert model[("b", 1)] == (2, 6)
+    assert model[("a|b", 2)] == (2, 3)
+    scores = {r["id"]: r["score"] for r in
+              scorer.score(df, id_cols=["id"]).collect()}
+    expected_r1 = -(math.log(3 / 6) + math.log(2 / 6) + math.log(2 / 3))
+    expected_r3 = -(math.log(3 / 6) + math.log(1 / 6) + math.log(1 / 3))
+    assert math.isclose(scores[1], expected_r1, rel_tol=1e-9)
+    assert math.isclose(scores[3], expected_r3, rel_tol=1e-9)
+    assert scores[3] > scores[1]               # rarer combo scores higher
+
+
+def test_scorer_three_way_combos(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"])], schema="id long, labels array<string>"
+    )
+    scorer = NGramCombinationScorer("labels", max_order=3).fit(df)
+    combos = {r["combo"] for r in scorer.combo_table().collect()}
+    assert combos == {"x", "y", "z", "x|y", "x|z", "y|z", "x|y|z"}
+
+
+def test_autoconfig_suggests_sane_spec(spark, code_files):
+    from osas_spark.autoconfig import infer_column_types, suggest_checks
+
+    df = code_files.withColumn("clen", F.length("content"))
+    types = infer_column_types(df, ["clen", "lang", "commit", "content"])
+    assert types["clen"] == "numeric"
+    assert types["lang"] == "multinomial"
+    assert types["commit"] == "multinomial"
+    assert types["content"] == "text"
+    spec = suggest_checks(
+        df.select("repo", "path", "commit", "lang", "clen"),
+        id_cols=["repo", "path", "commit"], partition_col="commit",
+    )
+    kinds = [c["type"] for c in spec["checks"]]
+    assert kinds[0] == "uniqueness"
+    assert "numeric" in kinds and "categorical" in kinds
+    # pairwise combiners over multinomial columns
+    assert any(c["type"] == "categorical" and len(c["fields"]) == 2
+               for c in spec["checks"])
+
+
+def test_runner_fit_then_score(spark, code_files, tmp_path, capsys):
+    from osas_spark.runner import main
+    from osas_spark.datagen import LANGS
+
+    inp = str(tmp_path / "input.parquet")
+    code_files.withColumn("clen", F.length("content")).write.parquet(inp)
+    cfg = tmp_path / "suite.yaml"
+    cfg.write_text(
+        "partition_col: commit\n"
+        "checks:\n"
+        "  - {type: uniqueness, keys: [repo, path, commit]}\n"
+        f"  - {{type: referential, fk: lang, dim_values: {json.dumps(LANGS)}}}\n"
+        "  - {type: numeric, field: clen}\n"
+    )
+    ck = str(tmp_path / "ck")
+    main(["fit", "--config", str(cfg), "--input", inp, "--checkpoint", ck])
+    fitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fitted["status"] == "fitted" and fitted["rows"] > 0
+
+    vio, ver = str(tmp_path / "vio"), str(tmp_path / "ver")
+    main(["score", "--config", str(cfg), "--input", inp, "--checkpoint", ck,
+          "--violations", vio, "--verdicts", ver])
+    scored = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert scored["status"] == "scored" and scored["failed"] > 0
+    assert spark.read.parquet(ver).count() == scored["verdict_rows"]
+    assert spark.read.parquet(vio).count() > 0

@@ -56,8 +56,17 @@ from osas_spark.fingerprint import with_fingerprint
 from osas_spark.verdict import ValidationSuite
 
 cpus = %(cpus)d
+# input-split sizing: the scan (and everything fused into it — the
+# Arrow sha256 UDF, the broadcast joins) can use at most as many tasks
+# as there are input partitions; 16MB splits keep every core fed on a
+# compact fixture exactly as maxPartitionBytes would be tuned per
+# cluster size via spark-submit --conf
 spark = get_spark(app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus * 2, 8))
+                  shuffle_partitions=max(cpus * 2, 8),
+                  extra_conf={
+                      "spark.sql.files.maxPartitionBytes": "16m",
+                      "spark.sql.files.openCostInBytes": "1m",
+                  })
 src = spark.read.parquet(%(fixture)r)
 rows = src.count()  # warm: JVM, parquet footers, page cache
 
@@ -71,10 +80,13 @@ def full_pass():
     ], partition_col="commit")
     suite.fit(df)
     out = with_fingerprint(suite.transform(df))
-    # force end-to-end materialization incl. the sha256 column
-    out.agg(F.count(F.lit(1)), F.sum(F.crc32("content_sha256")),
-            F.sum(F.size("labels"))).collect()
-    suite.verdicts(out).collect()
+    # ONE materialization: per-partition verdict counts + row count +
+    # sha256 checksum fused into a single aggregation pass
+    suite.verdict_counts(out, extra_aggs={
+        "rows": F.count(F.lit(1)),
+        "sha_crc": F.sum(F.crc32("content_sha256")),
+        "n_labels": F.sum(F.size("labels")),
+    }).collect()
 
 best = None
 for _ in range(%(reps)d):
