@@ -556,6 +556,19 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only:
+    hyperplane hashing has no ANSI-SQL analogue)."""
+    from osas_spark.functions.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.9, n_planes=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-3-gram Jaccard pairs via inverted-index self-join."""
     from osas_spark.functions.dedup import ngram_jaccard_pairs
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
         "ngram_jaccard": _ngram_jaccard,
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,

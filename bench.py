@@ -47,6 +47,12 @@ def main() -> None:
         app_name="osas_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(int(CPUS), 4),
+        # sf0.1 parquet files are a few MB each; default 128MB splits
+        # would collapse scans to 1-2 tasks and serialize every query
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
     )
     # warm the JVM + parquet footers once so per-query times measure the
     # operators, not session startup

@@ -64,15 +64,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """H-permutation minhash signature (array<bigint>) per row.
 
-    Each permutation is xxhash64 with a distinct seed literal; min over
-    the shingle set. Pure column expressions -> whole-stage codegen.
+    Each shingle is string-hashed ONCE (xxhash64 over the variable-
+    length string); the H permutations re-hash the resulting 64-bit
+    value with a per-permutation seed — a single fixed-width hash round
+    each, far cheaper than H string hashes, and free of the ANSI
+    overflow semantics a multiply-add universal hash would trip.
+    Pure column expressions -> whole-stage codegen.
     """
     shingles = _char_shingles(F.col(text_col), shingle_k)
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    with_base = df.withColumn("__mh_base", base)
     sig = F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(
+            F.transform(F.col("__mh_base"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
+        )
         for i in range(n_hashes)
     ])
-    return df.withColumn(sig_col, sig)
+    return with_base.withColumn(sig_col, sig).drop("__mh_base")
 
 
 def lsh_buckets(
@@ -255,14 +264,33 @@ def ngram_jaccard_pairs(
     shingled = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("gram"))
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
-    dfreq = shingled.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
-    pruned = shingled.join(dfreq.where(F.col("df_") <= max_doc_freq), on="gram")
-
-    a = pruned.select(F.col("gram"), F.col("doc").alias("id_a"))
-    b = pruned.select(F.col("gram"), F.col("doc").alias("id_b"))
+    # posting-list pair generation: ONE shuffle on gram builds the
+    # sorted posting list (capped at max_doc_freq, dropping boilerplate
+    # shingles), then all C(n,2) ordered pairs explode from the array —
+    # versus a self-join this saves a second full shuffle of the
+    # postings and lets the df-cutoff apply before any pair exists
+    postings = (
+        shingled.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .where(F.size("docs") <= max_doc_freq)
+        .where(F.size("docs") >= 2)
+    )
+    n = F.size("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("docs", i).alias("id_a"),
+                    F.element_at("docs", j).alias("id_b"),
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(b, on="gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

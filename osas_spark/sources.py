@@ -1,0 +1,65 @@
+"""Table sources/sinks — Iceberg-first with parquet/CSV fallbacks.
+
+The north rule targets Iceberg tables of source code; this sandbox has
+no Iceberg runtime jars, so the Iceberg path is gated behind a clear
+error rather than stubbed silently. Reference analogues: CSV scan/sink
+(reference src/osas/core/interfaces.py:108-153, main/run_pipeline.py:
+38,44-45) and the ES sink (":47-57") which we replace with tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, ref: str, fmt: str | None = None) -> DataFrame:
+    """Read `ref` as a DataFrame.
+
+    - "iceberg:catalog.db.tbl" or fmt="iceberg": Iceberg table — gets
+      commit-partition pruning + snapshot time travel on a real cluster
+    - "*.csv" or fmt="csv": header CSV, strings untyped (reference
+      semantics: every value arrives as a string, coerced per check)
+    - otherwise parquet path
+    """
+    if ref.startswith("iceberg:") or fmt == "iceberg":
+        name = ref.removeprefix("iceberg:")
+        try:
+            return spark.read.format("iceberg").load(name)
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                "Iceberg runtime not available in this environment — "
+                "add iceberg-spark-runtime to spark.jars.packages and a "
+                "catalog config, then re-run"
+            ) from e
+    if ref.endswith(".csv") or fmt == "csv":
+        return spark.read.csv(ref, header=True, inferSchema=False)
+    return spark.read.parquet(ref)
+
+
+def write_table(df: DataFrame, ref: str, fmt: str | None = None,
+                mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if ref.startswith("iceberg:") or fmt == "iceberg":
+        w.format("iceberg").saveAsTable(ref.removeprefix("iceberg:"))
+    elif ref.endswith(".csv") or fmt == "csv":
+        w.option("header", True).csv(ref)
+    else:
+        w.parquet(ref)
+
+
+def scrub_nans(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """NaN -> NULL scrub before export (reference P10,
+    main/run_pipeline.py:53-56 scrubs NaN for the ES sink)."""
+    out = df
+    for f in df.schema.fields:
+        if cols and f.name not in cols:
+            continue
+        if f.dataType.typeName() in ("double", "float"):
+            out = out.withColumn(
+                f.name,
+                F.when(F.isnan(F.col(f.name)), F.lit(None)).otherwise(F.col(f.name)),
+            )
+    return out

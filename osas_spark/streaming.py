@@ -1,0 +1,141 @@
+"""Structured Streaming integration — continuous validation.
+
+The reference is batch-only (SURVEY §2.5: no streaming anywhere); its
+--incremental flag re-trains on batches. In Spark the natural
+continuous shape is: fit the suite ONCE on a profiled batch, then run
+phase-2 labeling on a stream — every check's apply() is a stateless
+projection + stream-static broadcast join, both fully supported by
+Structured Streaming — with watermarked windowed verdict aggregation
+for late data, and applyInPandasWithState for custom stateful
+profiling (running per-key statistics that batch re-fits would miss).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from osas_spark.verdict import ValidationSuite
+
+
+def score_stream(suite: ValidationSuite, stream_df: DataFrame) -> DataFrame:
+    """Apply a FITTED suite to a streaming DataFrame.
+
+    Phase 2 is stateless given phase-1 models (labels = column exprs +
+    stream-static joins against the fitted model tables), so the same
+    transform() composes onto readStream unchanged."""
+    assert suite.fitted, "fit the suite on a profiling batch first"
+    assert stream_df.isStreaming
+    return suite.transform(stream_df)
+
+
+def windowed_verdicts(
+    suite: ValidationSuite,
+    labeled_stream: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(event-time window, check) violation counts with a watermark
+    so late data is bounded — the streaming analogue of verdicts()."""
+    aggs = []
+    for c in suite.checks:
+        vl = c.violation_labels()
+        if not vl:
+            continue
+        hit = F.size(
+            F.array_intersect(F.col(c.label_col), F.array(*[F.lit(v) for v in vl]))
+        ) > 0
+        aggs.append(F.sum(hit.cast("long")).alias(c.name))
+    return (
+        labeled_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(*aggs)
+    )
+
+
+# ------------------------------------------------- custom stateful op
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("sx", DoubleType()),
+    StructField("sxx", DoubleType()),
+])
+
+_OUT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("n", LongType()),
+    StructField("mean", DoubleType()),
+    StructField("std", DoubleType()),
+])
+
+
+def running_key_stats(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Running (n, mean, population std) per key via
+    applyInPandasWithState — the mergeable (n, sx, sxx) sketch from
+    sketch.py carried as stream state, so the emitted statistics after
+    any prefix of batches equal a batch pass over the same prefix
+    (same algebra as checkpoint resume)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, sx, sxx = state.get
+        else:
+            n, sx, sxx = 0, 0.0, 0.0
+        for pdf in pdfs:
+            v = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            n += int(v.size)
+            sx += float(v.sum())
+            sxx += float((v * v).sum())
+        state.update((n, sx, sxx))
+        mean = sx / n if n else 0.0
+        var = max(sxx / n - mean * mean, 0.0) if n else 0.0
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "mean": [mean], "std": [var ** 0.5]}
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, output_mode,
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_sink(
+    labeled_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> Any:
+    """Write a labeled stream to parquet with exactly-once checkpointing
+    (labels array serialized to JSON for parquet friendliness)."""
+    out = labeled_stream
+    if "labels" in out.columns:
+        out = out.withColumn("labels", F.to_json("labels"))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

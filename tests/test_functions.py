@@ -85,6 +85,40 @@ def test_token_count_and_quality(spark):
     assert q[2]["quality_score"] <= 0.5
 
 
+def test_embedding_near_duplicates(spark):
+    import math
+    from osas_spark.functions.dedup import embedding_near_duplicates
+
+    rows = [(0, [1.0, 0.0, 0.5, 0.2]), (1, [1.0, 0.001, 0.5, 0.2]),  # ~dup of 0
+            (2, [-1.0, 0.2, -0.5, 0.3]), (3, [0.0, 1.0, -0.2, 0.9])]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_duplicates(emb, "vec_id", "embedding",
+                                                threshold=0.99, n_planes=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert all({a, b} == {0, 1} for a, b in pairs)
+
+
+def test_sources_scrub_and_csv(spark, tmp_path):
+    from osas_spark.sources import read_table, scrub_nans, write_table
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), "x"), (2, 3.5, "y")], schema="i long, v double, s string"
+    )
+    scrubbed = scrub_nans(df).collect()
+    assert {r["i"]: r["v"] for r in scrubbed} == {1: None, 2: 3.5}
+
+    p = str(tmp_path / "t.csv")
+    write_table(df.select("i", "s"), p, fmt="csv")
+    back = read_table(spark, p, fmt="csv")
+    assert back.schema["i"].dataType.typeName() == "string"  # untyped CSV
+    assert back.count() == 2
+
+    import pytest
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_table(spark, "iceberg:cat.db.t")
+
+
 def test_numeric_bad_value_ansi_safe(spark):
     """Non-numeric strings label BAD_VALUE (reference P2) instead of
     crashing under Spark 4 ANSI cast semantics."""

@@ -1,0 +1,63 @@
+"""Streaming validation: stream labels == batch labels; stateful
+running stats == batch stats (prefix equality)."""
+
+import pyspark.sql.functions as F
+
+from osas_spark.checks import NumericCheck, ReferentialCheck
+from osas_spark.datagen import lang_dict
+from osas_spark.streaming import run_to_sink, running_key_stats, score_stream
+from osas_spark.verdict import ValidationSuite
+
+
+def test_stream_labels_equal_batch(spark, code_files, tmp_path):
+    df = code_files.withColumn("clen", F.length("content"))
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+
+    suite = ValidationSuite([
+        ReferentialCheck("lang", lang_dict(spark)),
+        NumericCheck("clen", name="numeric_clen"),
+    ]).fit(df)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    labeled = score_stream(suite, stream)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = run_to_sink(labeled, out, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = suite.transform(df).withColumn("labels", F.to_json("labels"))
+    assert got.count() == want.count()
+    key = ["repo", "path", "commit", "labels"]
+    assert got.select(key).exceptAll(want.select(key)).count() == 0
+
+
+def test_running_key_stats_match_batch(spark, tmp_path):
+    df = spark.range(2000).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 0.37 % 17).alias("x"),
+    )
+    src = str(tmp_path / "ssrc")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    stats = running_key_stats(stream, "k", "x")
+    q = (
+        stats.writeStream.format("memory").queryName("rks")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last update per key == full-batch stats
+    got = {
+        r["key"]: (r["n"], round(r["mean"], 9), round(r["std"], 9))
+        for r in spark.sql(
+            "select key, n, mean, std from (select *, row_number() over "
+            "(partition by key order by n desc) rn from rks) where rn = 1"
+        ).collect()
+    }
+    from osas_spark.stats import grouped_numeric_stats
+    want = {
+        r["k"]: (int(r["n"]), round(r["mean"], 9), round(r["std"], 9))
+        for r in grouped_numeric_stats(df, "x", ["k"]).collect()
+    }
+    assert got == want
