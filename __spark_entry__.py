@@ -403,6 +403,58 @@ FROM (
 # drift (SURVEY §2.3 A12-A13 reimagined as chi-square / KS)
 # =====================================================================
 
+def _keyword_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeywordCheck semantics (reference P7: strip non-alphanumerics,
+    split, one label per keyword hit) as per-keyword hit flags."""
+    from osas_spark.checks.rules import KeywordCheck
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kc = KeywordCheck("text", ["spark", "hash", "window"])
+    out = kc.apply(docs)
+    lbl = F.col(kc.label_col)
+    return out.select(
+        "doc_id",
+        F.array_contains(lbl, "TEXT_SPARK").cast("long").alias("kw_spark"),
+        F.array_contains(lbl, "TEXT_HASH").cast("long").alias("kw_hash"),
+        F.array_contains(lbl, "TEXT_WINDOW").cast("long").alias("kw_window"),
+    )
+
+
+_KEYWORD_LABELS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '[^0-9a-zA-Z]+', ' ', 'g')), ' ')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_contains(t, 'spark') AS BIGINT) AS kw_spark,
+       CAST(list_contains(t, 'hash') AS BIGINT) AS kw_hash,
+       CAST(list_contains(t, 'window') AS BIGINT) AS kw_window
+FROM toks
+"""
+
+
+def _svd_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVD-reconstruction anomaly score over label sets (reference A13,
+    anomaly.py:139-218) — numpy SVD on the distinct-set aggregate,
+    broadcast-joined back. Rows-only (no SQL SVD)."""
+    from osas_spark.scoring import SVDReconstructionScorer
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") >= 50, "HI").otherwise("LO"),
+            F.concat(F.lit("U"), F.pmod(F.col("user_id"), F.lit(3))),
+        ).alias("labels"),
+    )
+    scorer = SVDReconstructionScorer(k=3).fit(ev)
+    return scorer.score(ev).select(
+        "event_id", F.round("score", 4).alias("score")
+    )
+
+
 def _drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out chi-square drift of event_type between the two
     halves of the month."""
@@ -1020,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_categories": _rare_categories,
         "pair_freq": _pair_freq,
         "rules_score": _rules_score,
+        "keyword_labels": _keyword_labels,
+        "svd_scores": _svd_scores,
         "unique_violations": _unique_violations,
         "referential_orphans": _referential_orphans,
         "drift_chi2": _drift_chi2,
@@ -1054,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         "rare_categories": _RARE_CATEGORIES_SQL,
         "pair_freq": _PAIR_FREQ_SQL,
         "rules_score": _RULES_SCORE_SQL,
+        "keyword_labels": _KEYWORD_LABELS_SQL,
+        # svd_scores: numpy SVD basis — rows-only by design
         "unique_violations": _UNIQUE_VIOLATIONS_SQL,
         "referential_orphans": _REFERENTIAL_ORPHANS_SQL,
         "drift_chi2": _DRIFT_CHI2_SQL,

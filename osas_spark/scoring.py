@@ -84,6 +84,83 @@ def _combos(labels: F.Column, max_order: int = 3) -> F.Column:
     return F.when(n > 0, out).otherwise(F.array().cast("array<string>"))
 
 
+class SVDReconstructionScorer:
+    """SVD-reconstruction anomaly score over label sets — the
+    reference's SVDAnomaly (reference src/osas/core/anomaly.py:139-218):
+    n-hot encode the labels, project onto the top-k singular vectors,
+    score = L2 reconstruction error (":204-210").
+
+    Spark-first shape: rows are scored via their DISTINCT label set —
+    the distinct-set table is small (label vocabulary is bounded), so
+    the SVD runs on the deduplicated, count-weighted matrix driver-side
+    (numpy, no sklearn) and scores broadcast-join back to rows. The
+    100 TB table never leaves the executors; only the tiny
+    (label-set, count) aggregate does.
+    """
+
+    def __init__(self, labels_col: str = "labels", k: int = 4,
+                 score_col: str = "score", max_distinct_sets: int = 200_000):
+        self.labels_col = labels_col
+        self.k = k
+        self.score_col = score_col
+        self.max_distinct = max_distinct_sets
+        self._vocab: list[str] | None = None
+        self._vt = None          # (k, |vocab|) numpy
+        self._scores: DataFrame | None = None
+
+    def _key(self) -> F.Column:
+        return F.concat_ws("|", F.array_sort(F.array_distinct(F.col(self.labels_col))))
+
+    def fit(self, df: DataFrame) -> "SVDReconstructionScorer":
+        import numpy as np
+
+        sets = (
+            df.select(self._key().alias("lkey"))
+            .groupBy("lkey").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rows = sets.collect()
+        assert len(rows) <= self.max_distinct, (
+            f"{len(rows)} distinct label sets exceed max_distinct_sets; "
+            "raise the cap or reduce label cardinality"
+        )
+        vocab = sorted({lab for r in rows for lab in r["lkey"].split("|") if lab})
+        idx = {v: i for i, v in enumerate(vocab)}
+        mat = np.zeros((len(rows), len(vocab)))
+        w = np.zeros(len(rows))
+        for i, r in enumerate(rows):
+            w[i] = r["cnt"]
+            for lab in r["lkey"].split("|"):
+                if lab:
+                    mat[i, idx[lab]] = 1.0
+        # count-weighted SVD: weight rows by sqrt(count) so frequent
+        # sets dominate the basis exactly as fitting on raw rows would
+        k = min(self.k, min(mat.shape) - 1) if min(mat.shape) > 1 else 1
+        _u, _s, vt = np.linalg.svd(mat * np.sqrt(w)[:, None], full_matrices=False)
+        self._vt = vt[:k]
+        self._vocab = vocab
+        recon = mat @ self._vt.T @ self._vt
+        err = np.sqrt(((mat - recon) ** 2).sum(axis=1))
+        spark = df.sparkSession
+        self._scores = spark.createDataFrame(
+            [(r["lkey"], float(e)) for r, e in zip(rows, err)],
+            schema=f"lkey string, {self.score_col} double",
+        )
+        return self
+
+    def score(self, df: DataFrame) -> DataFrame:
+        """Adds the reconstruction-error score via broadcast join on the
+        label-set key; sets unseen at fit time score the max fitted
+        error + 1 (conservative: definitely anomalous)."""
+        mx = self._scores.agg(F.max(self.score_col)).collect()[0][0] or 0.0
+        joined = df.withColumn("__lkey", self._key()).join(
+            F.broadcast(self._scores.withColumnRenamed("lkey", "__lkey")),
+            on="__lkey", how="left",
+        )
+        return joined.withColumn(
+            self.score_col, F.coalesce(F.col(self.score_col), F.lit(mx + 1.0))
+        ).drop("__lkey")
+
+
 class NGramCombinationScorer:
     """fit(df) on a labels column, then score(df) -> df + score column."""
 

@@ -1,0 +1,86 @@
+"""Determinism guarantees: identical verdicts, violation sets, and
+per-partition sha256 digests under any input partitioning (SURVEY §7
+hard part #2; north-rule digest comparison)."""
+
+import pyspark.sql.functions as F
+
+from osas_spark.checks import (
+    CategoricalCheck, NumericCheck, ReferentialCheck, UniquenessCheck,
+)
+from osas_spark.datagen import lang_dict
+from osas_spark.fingerprint import with_fingerprint
+from osas_spark.verdict import ValidationSuite
+
+
+def _suite(spark):
+    return ValidationSuite(
+        [
+            UniquenessCheck(["repo", "path", "commit"]),
+            ReferentialCheck("lang", lang_dict(spark)),
+            NumericCheck("clen", name="numeric_clen"),
+            CategoricalCheck("lang", absolute_threshold=3,
+                             relative_threshold=0.001),
+        ],
+        partition_col="commit",
+    )
+
+
+def _partition_digests(spark, df):
+    """One sha256 digest per commit partition over the canonically-
+    ordered (row-key, sorted labels) stream — the per-partition
+    fingerprint the north rule compares across runs."""
+    fp = with_fingerprint(df, "content")
+    canon = F.sha2(
+        F.concat_ws(
+            "\x1f", "repo", "path", "commit",
+            F.coalesce("lang", F.lit("\x00")),
+            F.col("content_sha256"),
+            F.concat_ws(",", F.array_sort("labels")),
+        ),
+        256,
+    )
+    # order-insensitive partition digest: xor-free but stable — sum of
+    # the first 15 hex chars as a bigint is associative/commutative
+    return {
+        r["commit"]: (r["n"], r["digest"])
+        for r in fp.withColumn("__h", canon)
+        .groupBy("commit")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.conv(F.substring("__h", 1, 15), 16, 10).cast("decimal(38,0)"))
+            .cast("string").alias("digest"),
+        )
+        .collect()
+    }
+
+
+def test_verdicts_and_digests_invariant_to_partitioning(spark, code_files):
+    df = code_files.withColumn("clen", F.length("content"))
+    results = []
+    for nparts in (3, 17):
+        d = df.repartition(nparts)
+        suite = _suite(spark).fit(d)
+        out = suite.transform(d)
+        verdicts = sorted(map(tuple, suite.verdicts(out).collect()))
+        digests = _partition_digests(spark, out)
+        viol = suite.violations(out, keep_cols=["repo", "path", "commit"])
+        vset = frozenset(map(tuple, viol.collect()))
+        results.append((verdicts, digests, vset))
+    assert results[0][0] == results[1][0], "verdict matrix changed with partitioning"
+    assert results[0][1] == results[1][1], "partition digests changed with partitioning"
+    assert results[0][2] == results[1][2], "violation row set changed with partitioning"
+
+
+def test_salted_uniqueness_equals_plain_groupby(spark, code_files):
+    """The salted two-stage aggregate is an optimization, not a
+    semantics change: its duplicate set equals a plain groupBy."""
+    uc = UniquenessCheck(["repo", "path", "commit"], salt_buckets=32).fit(code_files)
+    salted = {tuple(r) for r in uc.duplicates().collect()}
+    plain = {
+        tuple(r)
+        for r in code_files.groupBy("repo", "path", "commit")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where("dup_count > 1")
+        .collect()
+    }
+    assert salted == plain and len(salted) > 0

@@ -53,6 +53,24 @@ def test_scorer_three_way_combos(spark):
     assert combos == {"x", "y", "z", "x|y", "x|z", "y|z", "x|y|z"}
 
 
+def test_svd_reconstruction_scorer(spark):
+    """Frequent label sets reconstruct well (low score); a rare,
+    off-basis set scores high (reference SVDAnomaly semantics)."""
+    from osas_spark.scoring import SVDReconstructionScorer
+
+    rows = [(i, ["a", "b"]) for i in range(50)]
+    rows += [(100 + i, ["c", "d"]) for i in range(50)]
+    rows += [(999, ["a", "d", "e"])]  # rare combination off the basis
+    df = spark.createDataFrame(rows, schema="id long, labels array<string>")
+    scorer = SVDReconstructionScorer(k=2).fit(df)
+    scores = {r["id"]: r["score"] for r in scorer.score(df).collect()}
+    assert scores[999] > scores[0] + 0.1
+    assert scores[999] > scores[100] + 0.1
+    # unseen label set at scoring time -> max fitted error + 1
+    new = spark.createDataFrame([(7, ["zzz"])], schema="id long, labels array<string>")
+    assert scorer.score(new).collect()[0]["score"] > scores[999]
+
+
 def test_autoconfig_suggests_sane_spec(spark, code_files):
     from osas_spark.autoconfig import infer_column_types, suggest_checks
 
