@@ -977,6 +977,85 @@ GROUP BY 1, 2
 """
 
 
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority: 3-way join, broadcast on the filtered
+    customer dim, deterministic top-10 (revenue desc, orderkey asc)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation: 6-way star join; every
+    dimension broadcasts, the fact table never shuffles until the
+    final small groupBy."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 def _top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(
@@ -1092,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "doc_fingerprint": _doc_fingerprint,
         "tpch_q1": _tpch_q1,
+        "tpch_q3": _tpch_q3,
+        "tpch_q5": _tpch_q5,
         "top_event_per_user": _top_event_per_user,
         "hot_keys": _hot_keys,
         "sessionize": _sessionize,
@@ -1124,6 +1205,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _build_lang_id_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
         "top_event_per_user": _TOP_EVENT_PER_USER_SQL,
         "hot_keys": _HOT_KEYS_SQL,
         "sessionize": _SESSIONIZE_SQL,

@@ -67,6 +67,44 @@ def test_reference_merge_quirk_documented():
     assert math.isclose(sd_exact, math.sqrt(26.0), rel_tol=1e-9)
 
 
+def test_merge_invariant_under_random_sharding(spark):
+    """Property: ANY 3-way sharding merges to the single-pass stats
+    (hypothesis drives the shard boundaries)."""
+    from hypothesis import given, settings, strategies as st
+
+    df = spark.range(3000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") * 2.13 % 50).alias("x")
+    ).cache()
+    df.count()
+    whole = {
+        r["g"]: (r["n"], round(r["mean"], 8), round(r["std"], 8))
+        for r in sketch.finalize_numeric(sketch.numeric_partials(df, "x", ["g"])).collect()
+    }
+
+    @settings(max_examples=5, deadline=None)
+    @given(a=st.integers(1, 2998), b=st.integers(1, 2998))
+    def check(a, b):
+        lo, hi = min(a, b), max(a, b)
+        shards = [
+            df.where(F.col("id") < lo),
+            df.where((F.col("id") >= lo) & (F.col("id") < hi)),
+            df.where(F.col("id") >= hi),
+        ]
+        merged = sketch.finalize_numeric(
+            sketch.merge_numeric_partials(
+                *[sketch.numeric_partials(s, "x", ["g"]) for s in shards]
+            )
+        )
+        got = {
+            r["g"]: (r["n"], round(r["mean"], 8), round(r["std"], 8))
+            for r in merged.collect()
+        }
+        assert got == whole
+
+    check()
+    df.unpersist()
+
+
 def test_histogram_quantile(spark):
     df = spark.range(10_000).select((F.col("id") / 100.0).alias("x"))
     h = sketch.histogram_partials(df, "x", lo=0.0, hi=100.0, bins=1000)
