@@ -556,6 +556,57 @@ FROM c GROUP BY 1
 """
 
 
+def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of o_totalprice per order-status
+    partition vs rest (fixed 10-bin grid, eps=1e-6 floor)."""
+    from osas_spark.checks.drift import numeric_drift_psi
+
+    orders = _t(spark, sf_dir, "orders")
+    d = numeric_drift_psi(orders, "o_totalprice", "o_orderstatus", bins=10)
+    return d.select("o_orderstatus", F.round("psi", 6).alias("psi"), "drifted")
+
+
+_DRIFT_PSI_SQL = """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo,
+         (max(o_totalprice) - min(o_totalprice)) / 10 AS width
+  FROM orders
+),
+binned AS (
+  SELECT o_orderstatus,
+         least(floor((o_totalprice - lo) / width), 9)::BIGINT AS bin,
+         count(*)::DOUBLE AS obs
+  FROM orders, bounds WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.o_orderstatus, b.bin, COALESCE(x.obs, 0) AS obs
+  FROM (SELECT DISTINCT o_orderstatus FROM binned) p
+  CROSS JOIN (SELECT DISTINCT bin FROM binned) b
+  LEFT JOIN binned x ON x.o_orderstatus = p.o_orderstatus AND x.bin = b.bin
+),
+g1 AS (
+  SELECT o_orderstatus, bin, obs,
+         sum(obs) OVER (PARTITION BY bin) - obs AS rest_obs
+  FROM grid
+),
+g AS (
+  SELECT o_orderstatus, bin, obs, rest_obs,
+         sum(obs) OVER (PARTITION BY o_orderstatus) AS n,
+         sum(rest_obs) OVER (PARTITION BY o_orderstatus) AS m
+  FROM g1
+),
+t AS (
+  SELECT o_orderstatus,
+         (greatest(obs / n, 1e-6) - greatest(rest_obs / m, 1e-6))
+           * ln(greatest(obs / n, 1e-6) / greatest(rest_obs / m, 1e-6)) AS term
+  FROM g
+)
+SELECT o_orderstatus, round(sum(term), 6) AS psi,
+       sum(term) > 0.2 AS drifted
+FROM t GROUP BY 1
+"""
+
+
 # =====================================================================
 # fingerprinting + dedup (training-data pipeline ops)
 # =====================================================================
@@ -1157,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": _referential_orphans,
         "drift_chi2": _drift_chi2,
         "drift_ks": _drift_ks,
+        "drift_psi": _drift_psi,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1195,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_orphans": _REFERENTIAL_ORPHANS_SQL,
         "drift_chi2": _DRIFT_CHI2_SQL,
         "drift_ks": _DRIFT_KS_SQL,
+        "drift_psi": _DRIFT_PSI_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -71,8 +71,27 @@ class CategoricalCheck(Check):
 
     def fit(self, df: DataFrame) -> "CategoricalCheck":
         w = F.col(self.count_column).cast("double") if self.count_column else F.lit(1.0)
-        gkeys = [f"__k_{c}" for c in self.group_by]
         counts = self._with_keys(df).groupBy(*self._key_cols()).agg(F.sum(w).alias("cnt"))
+        self._counts = counts  # mergeable partials for fit_incremental
+        return self._finalize(counts)
+
+    def fit_incremental(self, df: DataFrame) -> "CategoricalCheck":
+        """Merge a new batch's (key, cnt) partials into the model —
+        reference --incremental key-union merge
+        (label_generators.py:277-282), exact under any batch order."""
+        if getattr(self, "_counts", None) is None:
+            return self.fit(df)
+        w = F.col(self.count_column).cast("double") if self.count_column else F.lit(1.0)
+        new = self._with_keys(df).groupBy(*self._key_cols()).agg(F.sum(w).alias("cnt"))
+        self._counts = (
+            self._counts.unionByName(new)
+            .groupBy(*self._key_cols())
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return self._finalize(self._counts)
+
+    def _finalize(self, counts: DataFrame) -> "CategoricalCheck":
+        gkeys = [f"__k_{c}" for c in self.group_by]
         if gkeys:
             counts = counts.withColumn("total", F.sum("cnt").over(W.partitionBy(*gkeys)))
         else:

@@ -170,6 +170,58 @@ def numeric_drift_ks(
     return d.withColumn("drifted", F.col("ks_stat") > F.col("threshold"))
 
 
+def numeric_drift_psi(
+    df: DataFrame,
+    num_col: str,
+    part_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index per partition vs rest over fixed-width
+    bins: PSI = sum (p - q) * ln(p / q), zero proportions floored at eps
+    (the standard industry convention; PSI > 0.2 = significant shift).
+
+    Same reduce-first shape as the KS test: one groupBy to (partition,
+    bin) counts, the statistic over the tiny grid.
+    """
+    x = F.col(num_col).try_cast("double")
+    lo, hi = df.select(F.min(x), F.max(x)).collect()[0]
+    if lo is None or hi is None or hi <= lo:
+        return df.select(part_col).distinct().select(
+            part_col, F.lit(0.0).alias("psi"), F.lit(False).alias("drifted")
+        )
+    width = (hi - lo) / bins
+    binned = (
+        df.where(x.isNotNull())
+        .select(
+            F.col(part_col),
+            F.least(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)).alias("bin"),
+        )
+        .groupBy(part_col, "bin")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    parts = binned.select(part_col).distinct()
+    allbins = binned.select("bin").distinct()
+    grid = parts.crossJoin(F.broadcast(allbins)).join(
+        binned, on=[part_col, "bin"], how="left"
+    ).fillna({"obs": 0})
+    wp = W.partitionBy(part_col)
+    wb = W.partitionBy("bin")
+    g = grid.withColumn("rest_obs", F.sum("obs").over(wb) - F.col("obs"))
+    g = g.withColumn("n", F.sum("obs").over(wp)).withColumn(
+        "m", F.sum("rest_obs").over(wp)
+    )
+    p = F.greatest(F.col("obs") / F.col("n"), F.lit(eps))
+    q = F.greatest(F.col("rest_obs") / F.col("m"), F.lit(eps))
+    out = (
+        g.withColumn("term", (p - q) * F.log(p / q))
+        .groupBy(part_col)
+        .agg(F.sum("term").alias("psi"))
+    )
+    return out.withColumn("drifted", F.col("psi") > threshold)
+
+
 class DriftCheck(Check):
     """Suite-pluggable drift check over one categorical and/or one
     numeric column, partitioned by `part_col` (e.g. commit).

@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osas_spark.checks.base import Check
-from osas_spark.stats import grouped_numeric_stats
 
 RARE_GROUP_COUNT = 5  # reference label_generators.py:472
 
@@ -66,18 +65,45 @@ class NumericCheck(Check):
         self._global: tuple | None = None        # (n, mean, std)
 
     # ------------------------------------------------------------------ fit
-    def fit(self, df: DataFrame) -> "NumericCheck":
-        stats = grouped_numeric_stats(
+    def _partial(self, df: DataFrame) -> DataFrame:
+        from osas_spark.sketch import numeric_partials
+
+        return numeric_partials(
             df.withColumn("__g", F.lit(1)) if not self.group_by else df,
             self.field,
             self.group_by or ["__g"],
             self.count_column,
         )
+
+    def _finalize(self) -> None:
+        from osas_spark.sketch import finalize_numeric
+
+        stats = finalize_numeric(self._partials)
         if self.group_by:
             self._stats = stats
         else:
             row = stats.collect()[0]
             self._global = (float(row["n"]), float(row["mean"]), float(row["std"]))
+
+    def fit(self, df: DataFrame) -> "NumericCheck":
+        """Phase 1: ONE groupBy pass into mergeable (n, sx, sxx)
+        partials, finalized to (n, mean, std). The partials are kept so
+        fit_incremental() can merge new batches exactly (reference
+        --incremental training, train_pipeline.py:39-41 — but with the
+        algebraically-correct merge; SURVEY §4)."""
+        self._partials = self._partial(df)
+        self._finalize()
+        return self
+
+    def fit_incremental(self, df: DataFrame) -> "NumericCheck":
+        """Merge a new batch into the existing model — associative, so
+        any batch arrival order yields the single-pass statistics."""
+        from osas_spark.sketch import merge_numeric_partials
+
+        if getattr(self, "_partials", None) is None:
+            return self.fit(df)
+        self._partials = merge_numeric_partials(self._partials, self._partial(df))
+        self._finalize()
         return self
 
     # -------------------------------------------------------------- labeling

@@ -38,7 +38,7 @@ def numeric_partials(
     between map and reduce; persisting it makes the aggregation
     resumable across jobs.
     """
-    x = F.col(value_col).cast("double")
+    x = F.col(value_col).try_cast("double")  # ANSI-safe: bad values -> null
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     return (
         df.where(x.isNotNull())

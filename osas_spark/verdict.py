@@ -135,6 +135,31 @@ class ValidationSuite:
             "verdict", F.when(F.col("violation_rows") > 0, "FAIL").otherwise("PASS")
         )
 
+    # ------------------------------------------------------- single events
+    def validate_rows(self, spark, rows: list[dict], schema: str | None = None) -> list[dict]:
+        """Score a handful of rows against the FITTED models — the
+        reference's single-event OSAS API (reference src/osas/api.py:
+        111-124: per-row labels through cached pipeline instance).
+        Debug/serving helper, not a batch path."""
+        assert self.fitted, "fit() first"
+        df = spark.createDataFrame(rows, schema=schema) if schema else \
+            spark.createDataFrame(rows)
+        out = self.transform(df)
+        keep = [c for c in out.columns if not c.startswith("_")]
+        return [r.asDict() for r in out.select(*keep).collect()]
+
+    def fit_incremental(self, df: DataFrame) -> "ValidationSuite":
+        """Merge a new batch into every check that supports exact
+        incremental training (reference --incremental); checks without
+        a merge re-fit on the new batch."""
+        for c in self.checks:
+            if hasattr(c, "fit_incremental"):
+                c.fit_incremental(df)
+            else:
+                c.fit(df)
+        self.fitted = True
+        return self
+
     # ---------------------------------------------------------- checkpoint
     def model_dict(self) -> dict:
         return {c.name: c.model_dict() for c in self.checks}
