@@ -14,7 +14,15 @@ cannot flip the value hash.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file by path from any cwd — make the
+# sibling osas_spark package importable regardless
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -462,7 +470,7 @@ def _drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "half",
-        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "w1").otherwise("w2"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"), "w1").otherwise("w2"),
     )
     d = categorical_drift(ev, "event_type", "half")
     return d.select("half", F.round("chi2", 4).alias("chi2"),
@@ -1001,7 +1009,7 @@ FROM combos JOIN nll USING (combo) GROUP BY 1
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -1033,10 +1041,10 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dim, deterministic top-10 (revenue desc, orderkey asc)."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
     )
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1074,8 +1082,8 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem")
     return (

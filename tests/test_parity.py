@@ -91,6 +91,60 @@ def test_multinomial_thresholds_match_oracle(spark):
     assert cc.apply(new).collect()[0][cc.label_col] == ["UNSEEN_V"]
 
 
+def test_spike_ratio_mode(spark):
+    """P4 spike semantics (label_generators.py:355-400): ratio = x/mean
+    (mean floored at 0.01 when 0), banded by spike thresholds; combined
+    stdev+spike shifts mean by +sigma and only fires the spike band
+    when stdev_ratio >= stdev outlier threshold, else NORMAL."""
+    vals = [10.0] * 20 + [500.0]  # mean ~33, the 500 is a spike
+    df = spark.createDataFrame(pd.DataFrame({"X": vals}))
+    # combined mode: mean shifts by +sigma (~33.3+104.3=137.6), so the
+    # spike ratio for 500 is ~3.63 — thresholds chosen around it
+    nc = NumericCheck(
+        "X", stdev=True, spike="ratio",
+        spike_borderline_threshold=1.5, spike_outlier_threshold=3.0,
+        name="sp",
+    ).fit(df)
+    out = {r["X"]: list(r[nc.label_col]) for r in nc.apply(df).collect()}
+    assert out[10.0] == ["X_NORMAL"]        # within stdev band -> normal
+    assert out[500.0] == ["X_OUTLIER"]      # stdev_ratio 4.5 >= 2, spike 3.63 >= 3
+
+    # spike-only mode (stdev=False): pure ratio banding
+    nc2 = NumericCheck(
+        "X", stdev=False, spike="ratio",
+        spike_borderline_threshold=3.0, spike_outlier_threshold=10.0,
+        name="sp2",
+    ).fit(df)
+    out2 = {r["X"]: list(r[nc2.label_col]) for r in nc2.apply(df).collect()}
+    mean = sum(vals) / len(vals)
+    assert out2[500.0] == (["X_OUTLIER"] if 500.0 / mean >= 10.0
+                           else ["X_BORDERLINE"])
+
+
+def test_yaml_rules_loader(tmp_path):
+    """S6: walk folder for .yaml packs, validate required keys
+    (apply_rules.py:38-65)."""
+    import pytest
+    from osas_spark.checks.rules import load_rules
+
+    (tmp_path / "r1.yaml").write_text(
+        "rule name: big files\n"
+        "rule label: RULE_BIG\n"
+        "rule score: 2.5\n"
+        "conditions:\n  case1:\n    lang: [python]\n    n_chars: ['[0-9]{4}']\n"
+    )
+    (tmp_path / "ignored.txt").write_text("not yaml")
+    rules = load_rules(str(tmp_path))
+    assert len(rules) == 1
+    r = rules[0]
+    assert (r.name, r.label, r.score) == ("big files", "RULE_BIG", 2.5)
+    assert r.conditions == [{"lang": ["python"], "n_chars": ["[0-9]{4}"]}]
+
+    (tmp_path / "bad.yaml").write_text("rule name: x\n")  # missing keys
+    with pytest.raises(ValueError, match="missing"):
+        load_rules(str(tmp_path))
+
+
 def test_composite_key_format_reference_parity():
     """Reference composite keys are '(v1, v2)'-style strings
     (label_generators.py:189-193); our model keeps fields as columns
