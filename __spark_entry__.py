@@ -1156,6 +1156,52 @@ FROM orders GROUP BY 1 ORDER BY cnt DESC, o_custkey ASC LIMIT 10
 """
 
 
+def _quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation — F.percentile);
+    the engine's profile() uses percentile_approx/KLL at scale, this
+    query pins the exact path against the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_p99"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+FROM lineitem GROUP BY 1
+"""
+
+
+def _event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows (F.window — the batch shape of
+    the streaming windowed-verdict aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start").cast("timestamp_ntz"),
+                          "yyyy-MM-dd").alias("day"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+_EVENT_WINDOWS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) via lag + cumulative flags."""
     ev = _t(spark, sf_dir, "events")
@@ -1235,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _tpch_q5,
         "top_event_per_user": _top_event_per_user,
         "hot_keys": _hot_keys,
+        "quantiles": _quantiles,
+        "event_windows": _event_windows,
         "sessionize": _sessionize,
     }
 
@@ -1270,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _TPCH_Q5_SQL,
         "top_event_per_user": _TOP_EVENT_PER_USER_SQL,
         "hot_keys": _HOT_KEYS_SQL,
+        "quantiles": _QUANTILES_SQL,
+        "event_windows": _EVENT_WINDOWS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         # dedup_minhash / dedup_simhash / ann_lsh: xxhash64-based —
         # intentionally rows-only (no ANSI-SQL equivalent).
