@@ -144,23 +144,26 @@ def minhash_near_duplicates(
     bucketed = lsh_buckets(sigs, bands=bands).select(id_col, "minhash", "band", "bucket")
 
     bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
-    bounded = bucketed.join(
+    bounded = bucketed.select(id_col, "band", "bucket").join(
         bucket_sizes.where(F.col("bs") <= max_bucket), on=["band", "bucket"]
     )
 
-    a = bounded.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
-    )
-    b = bounded.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
-    )
+    # the quadratic pair stream carries ONLY the two ids — signatures
+    # (H longs each) are attached after dedup via two joins on the
+    # (small) signature table, so the heaviest shuffle stays narrow
+    a = bounded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = bounded.select("band", "bucket", F.col(id_col).alias("id_b"))
     pairs = (
         a.join(b, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_tbl = sigs.select(F.col(id_col), F.col("minhash"))
+    pairs = pairs.join(
+        sig_tbl.withColumnsRenamed({id_col: "id_a", "minhash": "sig_a"}), on="id_a"
+    ).join(
+        sig_tbl.withColumnsRenamed({id_col: "id_b", "minhash": "sig_b"}), on="id_b"
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
