@@ -13,10 +13,14 @@ Reimplements MultinomialField / MultinomialFieldCombiner semantics
   - a row whose group bucket is unseen emits NO labels (":763-764")
 
 Spark-first: phase 1 is one groupBy([group]+fields) aggregation with a
-window for per-bucket totals; phase 2 is a broadcast left join + F.when.
-The reference's in-memory dict lookup becomes a real join, so the model
-may be arbitrarily large (it spills/shuffles instead of OOMing); Spark
-broadcasts it while it fits.
+window for per-bucket totals; phase 2 is a left join + F.when. The
+reference's in-memory dict lookup becomes a real join, so the model may
+be arbitrarily large (it spills/shuffles instead of OOMing). The
+broadcast hint is SIZE-GATED (joins.broadcast_if_small): a pair-combiner
+over two high-cardinality fields can have millions-to-billions of
+combos, and an unconditional hint would force Spark to build that hash
+relation anyway — above the row limit the join is left un-hinted and
+AQE picks sort-merge/shuffled-hash.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from osas_spark.checks.base import Check
+from osas_spark.joins import broadcast_if_small
 
 
 class CategoricalCheck(Check):
@@ -35,6 +40,7 @@ class CategoricalCheck(Check):
         absolute_threshold: float = 5,
         relative_threshold: float = 0.01,
         count_column: str | None = None,
+        broadcast_limit_rows: int | None = None,
         name: str | None = None,
     ):
         self.fields = [field_names] if isinstance(field_names, str) else list(field_names)
@@ -42,9 +48,12 @@ class CategoricalCheck(Check):
         self.abs_t = absolute_threshold
         self.rel_t = relative_threshold
         self.count_column = count_column
+        self.broadcast_limit_rows = broadcast_limit_rows
         self.single = len(self.fields) == 1
         self.name = name or f"categorical_{'_'.join(self.fields)}"
         self._freq: DataFrame | None = None
+        self._bcast: bool | None = None          # memoized size-gate verdicts
+        self._bcast_buckets: bool | None = None
 
     def _suffix(self) -> str:
         fname = "_".join(self.fields).upper()
@@ -101,6 +110,8 @@ class CategoricalCheck(Check):
             total = counts.agg(F.sum("cnt").alias("total"))
             counts = counts.crossJoin(F.broadcast(total))
         self._freq = counts.withColumn("prob", F.col("cnt") / F.col("total"))
+        self._bcast = None          # model changed — re-probe on next apply
+        self._bcast_buckets = None
         return self
 
     def frequency_table(self) -> DataFrame:
@@ -113,7 +124,13 @@ class CategoricalCheck(Check):
             {"cnt": "__m_cnt", "total": "__m_total", "prob": "__m_prob"}
         )
         keys = self._key_cols()
-        joined = self._with_keys(df).join(F.broadcast(model), on=keys, how="left")
+        # size-gate: probe once per fitted model (memoized), hint only
+        # when the frequency table provably fits a broadcast relation
+        if self._bcast is None:
+            _, self._bcast = broadcast_if_small(self._freq, self.broadcast_limit_rows)
+        if self._bcast:
+            model = F.broadcast(model)
+        joined = self._with_keys(df).join(model, on=keys, how="left")
 
         unseen = F.col("__m_cnt").isNull()
         low_count = F.col("__m_cnt") < self.abs_t
@@ -136,7 +153,15 @@ class CategoricalCheck(Check):
             buckets = self._freq.select(*gkeys).distinct().withColumn(
                 "__bucket_seen", F.lit(1)
             )
-            joined = joined.join(F.broadcast(buckets), on=gkeys, how="left")
+            # group-key cardinality <= model cardinality, but can still
+            # exceed the limit on its own — probe separately (memoized)
+            if self._bcast_buckets is None:
+                buckets, self._bcast_buckets = broadcast_if_small(
+                    buckets, self.broadcast_limit_rows
+                )
+            elif self._bcast_buckets:
+                buckets = F.broadcast(buckets)
+            joined = joined.join(buckets, on=gkeys, how="left")
             labels = F.when(F.col("__bucket_seen").isNull(),
                             F.array().cast("array<string>")).otherwise(labels)
             drop.append("__bucket_seen")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osas_spark.checks.base import Check
+from osas_spark.joins import broadcast_if_small
 
 RARE_GROUP_COUNT = 5  # reference label_generators.py:472
 
@@ -47,6 +48,7 @@ class NumericCheck(Check):
         spike_outlier_threshold: float = 20.0,
         label_for_normal: bool = True,
         count_column: str | None = None,
+        broadcast_limit_rows: int | None = None,
         name: str | None = None,
     ):
         assert spike in ("none", "ratio", "fixed")
@@ -60,9 +62,11 @@ class NumericCheck(Check):
         self.pb, self.po = spike_borderline_threshold, spike_outlier_threshold
         self.label_for_normal = label_for_normal
         self.count_column = count_column
+        self.broadcast_limit_rows = broadcast_limit_rows
         self.name = name or f"numeric_{field_name}"
         self._stats: DataFrame | None = None     # grouped mode
         self._global: tuple | None = None        # (n, mean, std)
+        self._bcast: bool | None = None          # memoized size-gate verdict
 
     # ------------------------------------------------------------------ fit
     def _partial(self, df: DataFrame) -> DataFrame:
@@ -79,6 +83,7 @@ class NumericCheck(Check):
         from osas_spark.sketch import finalize_numeric
 
         stats = finalize_numeric(self._partials)
+        self._bcast = None  # model changed — re-probe on next apply
         if self.group_by:
             self._stats = stats
         else:
@@ -169,7 +174,14 @@ class NumericCheck(Check):
         stats = self._stats.withColumnsRenamed(
             {"n": "__st_n", "mean": "__st_mean", "std": "__st_std"}
         )
-        joined = df.join(F.broadcast(stats), on=self.group_by, how="left")
+        # size-gate the broadcast hint: group cardinality is unbounded
+        # (a high-cardinality group_by yields a huge stats table) — above
+        # the limit, leave the join un-hinted and let AQE choose
+        if self._bcast is None:
+            _, self._bcast = broadcast_if_small(self._stats, self.broadcast_limit_rows)
+        if self._bcast:
+            stats = F.broadcast(stats)
+        joined = df.join(stats, on=self.group_by, how="left")
         labels = (
             F.when(bad, bad_arr)
             .when(F.col("__st_n").isNull(), F.array(F.lit(f"UNSEEN_KEY_FOR_{fname}")))

@@ -5,9 +5,11 @@ membership test of MultinomialFieldCombiner
 (reference src/osas/core/label_generators.py:766-767) — a left-join-null,
 i.e. exactly `left_anti` semantics.
 
-The dictionary (e.g. lang -> ext, ~12 rows) is always broadcast: the
-fact table never shuffles. NULL fk values are labeled separately
-(*_NULL) because an anti-join would silently swallow them.
+The dictionary (e.g. lang -> ext, ~12 rows) is broadcast while it
+provably fits (size-gated hint — a billion-row dimension degrades to a
+shuffle join instead of OOMing): the fact table never shuffles in the
+common small-dim case. NULL fk values are labeled separately (*_NULL)
+because an anti-join would silently swallow them.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osas_spark.checks.base import Check
+from osas_spark.joins import broadcast_if_small
 
 
 class ReferentialCheck(Check):
@@ -24,26 +27,35 @@ class ReferentialCheck(Check):
         fk_col: str,
         dim_df: DataFrame,
         dim_key: str | None = None,
+        broadcast_limit_rows: int | None = None,
         name: str | None = None,
     ):
         self.fk = fk_col
         self.dim_key = dim_key or fk_col
         self._dim = dim_df.select(F.col(self.dim_key).alias(fk_col)).distinct()
+        self.broadcast_limit_rows = broadcast_limit_rows
+        self._bcast: bool | None = None  # memoized size-gate verdict
         self.name = name or f"ref_{fk_col}"
+
+    def _hinted_dim(self) -> DataFrame:
+        if self._bcast is None:
+            _, self._bcast = broadcast_if_small(self._dim, self.broadcast_limit_rows)
+        return F.broadcast(self._dim) if self._bcast else self._dim
 
     def fit(self, df: DataFrame) -> "ReferentialCheck":
         return self  # the model IS the dictionary
 
     def orphans(self, df: DataFrame) -> DataFrame:
-        """Violation rows via broadcast left_anti (nulls excluded)."""
+        """Violation rows via (size-gated) broadcast left_anti (nulls
+        excluded)."""
         return df.where(F.col(self.fk).isNotNull()).join(
-            F.broadcast(self._dim), on=self.fk, how="left_anti"
+            self._hinted_dim(), on=self.fk, how="left_anti"
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
         fname = self.fk.upper()
-        marked = self._dim.withColumn("__dim_hit", F.lit(1))
-        joined = df.join(F.broadcast(marked), on=self.fk, how="left")
+        marked = self._hinted_dim().withColumn("__dim_hit", F.lit(1))
+        joined = df.join(marked, on=self.fk, how="left")
         labels = (
             F.when(F.col(self.fk).isNull(), F.array(F.lit(f"{fname}_NULL")))
             .when(F.col("__dim_hit").isNull(), F.array(F.lit(f"UNSEEN_{fname}")))

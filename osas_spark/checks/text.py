@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osas_spark.checks.base import Check
+from osas_spark.joins import broadcast_if_small
 
 UNSEEN_PENALTY = 1e-8  # reference label_generators.py:598
 
@@ -68,6 +69,7 @@ class TextCheck(Check):
         min_vocab_count: int = 2,          # reference :546-548 (count > 2)
         stdev_borderline_threshold: float = 1.0,
         stdev_outlier_threshold: float = 2.0,
+        broadcast_limit_rows: int | None = None,
         name: str | None = None,
     ):
         assert mode in ("word", "char")
@@ -77,10 +79,13 @@ class TextCheck(Check):
         self.lo, self.hi = ngram_range
         self.min_vocab = min_vocab_count
         self.sb, self.so = stdev_borderline_threshold, stdev_outlier_threshold
+        self.broadcast_limit_rows = broadcast_limit_rows
         self.name = name or f"text_{field_name}"
         self._vocab: DataFrame | None = None
         self._model: DataFrame | None = None   # (ngram, order, cnt, total)
         self._px_stats: tuple[float, float] | None = None
+        self._bcast_vocab: bool | None = None  # memoized size-gate verdicts
+        self._bcast_model: bool | None = None
 
     # ------------------------------------------------------------ internals
     def _vocab_mapped(self, df: DataFrame) -> DataFrame:
@@ -89,8 +94,14 @@ class TextCheck(Check):
         keeps the vocabulary distributed (no driver-side set)."""
         toks = _tokens(F.col(self.field).cast("string"), self.mode)
         base = df.select(*self.id_cols, F.posexplode(toks).alias("pos", "tok"))
+        # web-corpus vocabularies are unbounded — size-gate the hint
+        if self._bcast_vocab is None:
+            _, self._bcast_vocab = broadcast_if_small(
+                self._vocab, self.broadcast_limit_rows
+            )
+        vocab = F.broadcast(self._vocab) if self._bcast_vocab else self._vocab
         mapped = (
-            base.join(F.broadcast(self._vocab), on="tok", how="left")
+            base.join(vocab, on="tok", how="left")
             .withColumn("tok2", F.when(F.col("__in_vocab").isNull(), "<UNK>")
                         .otherwise(F.col("tok")))
         )
@@ -120,7 +131,12 @@ class TextCheck(Check):
     def _perplexity(self, df: DataFrame) -> DataFrame:
         """(id..., perplexity) for every row of df."""
         grams = self._all_ngrams(self._vocab_mapped(df))
-        joined = grams.join(F.broadcast(self._model), on=["order", "ngram"], how="left")
+        if self._bcast_model is None:
+            _, self._bcast_model = broadcast_if_small(
+                self._model, self.broadcast_limit_rows
+            )
+        model = F.broadcast(self._model) if self._bcast_model else self._model
+        joined = grams.join(model, on=["order", "ngram"], how="left")
         nll = F.when(
             F.col("cnt").isNull(), -F.log(F.lit(UNSEEN_PENALTY))
         ).otherwise(-F.log(F.col("cnt") / F.col("total")))
@@ -132,6 +148,8 @@ class TextCheck(Check):
 
     # ------------------------------------------------------------------ fit
     def fit(self, df: DataFrame) -> "TextCheck":
+        self._bcast_vocab = None  # model changes — re-probe on next use
+        self._bcast_model = None
         toks = _tokens(F.col(self.field).cast("string"), self.mode)
         unigrams = df.select(F.explode(toks).alias("tok"))
         self._vocab = (

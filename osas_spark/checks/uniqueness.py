@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osas_spark.checks.base import Check
+from osas_spark.joins import broadcast_if_small
 
 
 class UniquenessCheck(Check):
@@ -31,12 +32,15 @@ class UniquenessCheck(Check):
         self,
         key_cols: list[str],
         salt_buckets: int = 16,
+        broadcast_limit_rows: int | None = None,
         name: str | None = None,
     ):
         self.keys = list(key_cols)
         self.salt_buckets = salt_buckets
+        self.broadcast_limit_rows = broadcast_limit_rows
         self.name = name or f"unique_{'_'.join(key_cols)}"
         self._dups: DataFrame | None = None
+        self._bcast: bool | None = None  # memoized size-gate verdict
 
     def fit(self, df: DataFrame) -> "UniquenessCheck":
         salt = F.pmod(
@@ -52,6 +56,7 @@ class UniquenessCheck(Check):
             .agg(F.sum("__c").alias("dup_count"))
             .where(F.col("dup_count") > 1)
         )
+        self._bcast = None  # model changed — re-probe on next apply
         return self
 
     def duplicates(self) -> DataFrame:
@@ -61,11 +66,14 @@ class UniquenessCheck(Check):
     def apply(self, df: DataFrame) -> DataFrame:
         label = "DUPLICATE_" + "_".join(self.keys).upper()
         dups = self._dups.withColumnsRenamed({"dup_count": "__dupc"})
-        # duplicate-key set is usually small (violations only) => broadcast;
-        # if it were huge, Spark falls back to sort-merge automatically when
-        # the broadcast threshold is exceeded because we only HINT broadcast
-        # on a bounded subset... keep the hint conditional:
-        joined = df.join(F.broadcast(dups), on=self.keys, how="left")
+        # the duplicate-key set is usually small (violations only), but a
+        # dup-heavy table makes it unbounded — size-gate the hint so the
+        # join degrades to sort-merge instead of OOMing on the build side
+        if self._bcast is None:
+            _, self._bcast = broadcast_if_small(self._dups, self.broadcast_limit_rows)
+        if self._bcast:
+            dups = F.broadcast(dups)
+        joined = df.join(dups, on=self.keys, how="left")
         labels = F.when(
             F.col("__dupc").isNotNull(), F.array(F.lit(label))
         ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,52 @@
+"""Size-gated broadcast hints for model-table joins.
+
+An explicit ``F.broadcast(model)`` hint is NOT size-conditional: Spark
+builds the hash relation regardless of how big the table turns out to
+be, so a high-cardinality fitted model (e.g. a pair-combiner frequency
+table over two wide columns at 10^12 rows — millions to billions of
+combos) OOMs the driver/executors. The reference never hits this
+because its models are in-memory Python dicts that already fit or die
+(reference src/osas/core/label_generators.py:705-741); a Spark-first
+engine must degrade to a shuffle join instead.
+
+``broadcast_if_small`` probes the model's row count with a
+``limit(n+1).count()`` — the global limit short-circuits, so the probe
+never scans more than ``limit+1`` rows of the aggregated model — and
+only attaches the broadcast hint when the model is provably below the
+limit. Above it, the join is left un-hinted: AQE picks sort-merge /
+shuffled-hash, and may still convert to broadcast at runtime if the
+actual build side is small. The verdict decision is memoized per fitted
+model by the caller (checks cache the hinted DataFrame), so the probe
+runs once per fit, not once per apply.
+
+The default row limit is sized for narrow key tables: 4M rows of
+(a few string keys + 3 doubles) is ~100-300 MB serialized — at the
+upper edge of what a healthy executor should hold as a broadcast
+relation, and far below where the hint becomes a scale-killer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Module-level so tests / deployments can tune one knob. Checks read it
+# at probe time (not import time).
+DEFAULT_BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def broadcast_if_small(
+    model: DataFrame, limit_rows: int | None = None
+) -> tuple[DataFrame, bool]:
+    """Return (maybe-hinted model, was_broadcast).
+
+    Attaches ``F.broadcast`` only when the model has <= limit_rows rows,
+    probed with a short-circuiting ``limit(n+1).count()``. When the
+    model exceeds the limit the DataFrame is returned un-hinted and the
+    join planner (AQE) chooses the physical strategy.
+    """
+    limit = int(limit_rows) if limit_rows is not None else DEFAULT_BROADCAST_ROW_LIMIT
+    n = model.limit(limit + 1).count()
+    if n <= limit:
+        return F.broadcast(model), True
+    return model, False

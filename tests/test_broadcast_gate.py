@@ -1,0 +1,104 @@
+"""Size-gated model broadcasts: a model above the row limit must NOT be
+force-broadcast — the join falls back to a shuffle join (AQE-chosen) —
+and labels must be identical on both paths.
+
+Covers VERDICT r01 'What's wrong #1': an unconditional F.broadcast of a
+fitted model is a scale-killer for high-cardinality models.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osas_spark.checks import CategoricalCheck, NumericCheck, UniquenessCheck
+from osas_spark.checks.referential import ReferentialCheck
+from osas_spark.joins import broadcast_if_small
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable Spark's own size-based auto-broadcast so the plan shows
+    exactly what OUR hint (or its absence) decides."""
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+    if old_aqe is None:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    else:
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def _pairs_df(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 100).cast("string").alias("u"),
+        (F.col("id") % 80).cast("string").alias("p"),
+        (F.col("id") % 7).cast("double").alias("x"),
+    )
+
+
+def test_broadcast_if_small_probe(spark):
+    df = spark.range(100)
+    _, small = broadcast_if_small(df, limit_rows=1000)
+    assert small
+    _, small = broadcast_if_small(df, limit_rows=10)
+    assert not small
+
+
+def test_categorical_large_model_no_forced_broadcast(spark, no_auto_broadcast):
+    df = _pairs_df(spark)
+    big = CategoricalCheck(["u", "p"], broadcast_limit_rows=10).fit(df)
+    plan = _physical_plan(big.apply(df))
+    # the 1-row global-total cross join is an intentional, bounded
+    # IdentityBroadcastMode exchange; the MODEL join must not broadcast
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    small = CategoricalCheck(["u", "p"]).fit(df)  # default limit: fits
+    plan_small = _physical_plan(small.apply(df))
+    assert "BroadcastHashJoin" in plan_small  # hint forces it even at -1
+
+    # identical labels on both physical paths
+    col = big.label_col
+    a = sorted(big.apply(df).select("rid", F.to_json(col).alias("l")).collect())
+    small_out = small.apply(df).withColumnRenamed(small.label_col, col)
+    b = sorted(small_out.select("rid", F.to_json(col).alias("l")).collect())
+    assert a == b
+
+
+def test_categorical_grouped_bucket_join_gated(spark, no_auto_broadcast):
+    df = _pairs_df(spark)
+    chk = CategoricalCheck(["p"], group_by=["u"], broadcast_limit_rows=10).fit(df)
+    plan = _physical_plan(chk.apply(df))
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_numeric_grouped_large_model_no_forced_broadcast(spark, no_auto_broadcast):
+    df = _pairs_df(spark)
+    chk = NumericCheck("x", group_by=["u"], broadcast_limit_rows=10).fit(df)
+    plan = _physical_plan(chk.apply(df))
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_uniqueness_large_dupset_no_forced_broadcast(spark, no_auto_broadcast):
+    df = _pairs_df(spark).select((F.col("rid") % 150).alias("k"))  # 150 dup keys
+    chk = UniquenessCheck(["k"], broadcast_limit_rows=10).fit(df)
+    plan = _physical_plan(chk.apply(df))
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_referential_large_dim_no_forced_broadcast(spark, no_auto_broadcast):
+    df = _pairs_df(spark)
+    dim = spark.range(300).select(F.col("id").cast("string").alias("u"))
+    chk = ReferentialCheck("u", dim, broadcast_limit_rows=10)
+    plan = _physical_plan(chk.apply(df))
+    assert "BroadcastHashJoin" not in plan
+    # orphans path shares the memoized verdict
+    assert "BroadcastHashJoin" not in _physical_plan(chk.orphans(df))
