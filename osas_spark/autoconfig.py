@@ -59,18 +59,22 @@ def suggest_checks(
     checks: list[dict] = []
     multinomial = []
     for c, t in types.items():
+        if id_cols and c in id_cols:
+            # identifier columns never get per-value checks regardless
+            # of inferred type — a numeric/low-cardinality id would
+            # otherwise produce pure-noise outlier/rare labels
+            # (uniqueness over the id set is added below instead)
+            continue
         if t == "numeric":
             checks.append({"type": "numeric", "field": c})
         elif t == "multinomial":
             multinomial.append(c)
             checks.append({"type": "categorical", "fields": [c]})
-        elif id_cols and c in id_cols:
-            continue
-        else:
-            spec = {"type": "text", "field": c}
-            if id_cols:
-                spec["id_cols"] = id_cols
-            checks.append(spec)
+        elif id_cols:
+            checks.append({"type": "text", "field": c, "id_cols": id_cols})
+        # text checks need id_cols for the deterministic join-back; with
+        # no ids available, downgrade (skip) rather than emit a spec
+        # that suite_from_dict would reject
     for a, b in list(combinations(sorted(multinomial), 2))[:max_pairs]:
         checks.append({"type": "categorical", "fields": [a, b]})
     if id_cols:

@@ -7,17 +7,23 @@ pipeline.py:71-87, main/train_pipeline.py:39-42) — but with two
 Spark-first differences mandated by the north rule:
 
   1. No pickle. Every model is JSON (small dict state) or parquet
-     (DataFrame-backed state: grouped stats, frequency tables), so a
-     checkpoint written by one cluster restores on any other.
-  2. Partials, not finals. For resumable multi-batch profiling we
-     persist the ASSOCIATIVE partial state from sketch.py
-     (n/sx/sxx, key counts, HLL binary sketches) per ingest batch;
-     resume = union + re-aggregate, algebraically identical to a
-     single pass (property-tested).
+     (DataFrame-backed state: grouped stats, frequency tables, text LM
+     vocab/counts), so a checkpoint written by one cluster restores on
+     any other.
+  2. Partials, not finals. Checks persist their ASSOCIATIVE root state
+     (numeric (n,sx,sxx), categorical (key,cnt)); restore_state()
+     re-derives the finalized model, so a restored check supports both
+     apply() AND exact fit_incremental() continuation — the reference's
+     restore-then-continue-training path, without its biased merge.
+
+save_suite FAILS LOUDLY if a check holds DataFrame state it does not
+declare via df_state() — an incomplete checkpoint that silently loses
+an expensive fitted model (e.g. a text LM) is worse than no checkpoint.
 
 Layout under a checkpoint dir:
-  manifest.json                 {check_name: model_dict or {"__parquet__": sub}}
-  models/<check>/               parquet for DataFrame-backed models
+  manifest.json                 per-check entry: model dict, or the list
+                                of persisted DataFrames + small scalars
+  models/<check>/<state>/       parquet per named df_state entry
   partials/<name>/batch=<id>/   parquet partial aggregates per batch
 """
 
@@ -38,20 +44,29 @@ _DATA_DEPENDENT = ("UniquenessCheck", "DriftCheck")
 
 def save_suite(suite: ValidationSuite, path: str, metrics: dict | None = None) -> None:
     """Persist every check's model. DataFrame-backed state (grouped
-    stats / frequency tables) goes to parquet so a huge model never
-    has to fit on the driver; small state inlines into manifest.json."""
+    stats / frequency tables / LM counts) goes to parquet so a huge
+    model never has to fit on the driver; small state inlines into
+    manifest.json."""
     os.makedirs(path, exist_ok=True)
     manifest: dict = {"checks": {}, "metrics": metrics or {}}
     for c in suite.checks:
         entry: dict = {"class": type(c).__name__}
-        df_state = _model_df(c)
-        if df_state is not None:
-            sub = os.path.join(path, "models", c.name)
-            df_state.write.mode("overwrite").parquet(sub)
-            entry["parquet"] = os.path.join("models", c.name)
-            entry["small"] = _small_state(c)
+        if type(c).__name__ in _DATA_DEPENDENT:
+            # re-fitted against the target table on restore; persisting
+            # its (data-derived) state would validate the wrong dataset
+            entry["data_dependent"] = True
         else:
-            entry["model"] = c.model_dict()
+            dfs = c.df_state()
+            if dfs:
+                entry["dfs"] = sorted(dfs)
+                entry["small"] = c.small_state()
+                for key in sorted(dfs):
+                    dfs[key].write.mode("overwrite").parquet(
+                        os.path.join(path, "models", c.name, key)
+                    )
+            else:
+                _assert_no_undeclared_df_state(c)
+                entry["model"] = c.model_dict()
         manifest["checks"][c.name] = entry
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, default=str)
@@ -69,43 +84,38 @@ def load_suite(
         entry = manifest["checks"].get(c.name)
         if entry is None:
             raise KeyError(f"checkpoint has no model for check '{c.name}'")
-        if type(c).__name__ in _DATA_DEPENDENT:
+        if type(c).__name__ in _DATA_DEPENDENT or entry.get("data_dependent"):
             if df is None:
                 raise ValueError(
                     f"{c.name} is data-dependent; pass df= to re-fit on restore"
                 )
             c.fit(df)
             continue
-        if "parquet" in entry:
-            state = spark.read.parquet(os.path.join(path, entry["parquet"]))
-            _restore_df_state(c, state, entry.get("small") or {})
+        if "dfs" in entry:
+            dfs = {
+                key: spark.read.parquet(os.path.join(path, "models", c.name, key))
+                for key in entry["dfs"]
+            }
+            c.restore_state(dfs, entry.get("small") or {})
         else:
             c.load_model(entry["model"])
     suite.fitted = True
     return suite
 
 
-def _model_df(check) -> DataFrame | None:
-    """DataFrame-backed model state, when the check has one."""
-    for attr in ("_stats", "_freq"):
-        st = getattr(check, attr, None)
-        if isinstance(st, DataFrame):
-            return st
-    return None
-
-
-def _small_state(check) -> dict:
-    g = getattr(check, "_global", None)
-    return {"global": list(g)} if g else {}
-
-
-def _restore_df_state(check, state: DataFrame, small: dict) -> None:
-    if hasattr(check, "_stats"):
-        check._stats = state
-    elif hasattr(check, "_freq"):
-        check._freq = state
-    if small.get("global"):
-        check._global = tuple(small["global"])
+def _assert_no_undeclared_df_state(check) -> None:
+    """A check that stores DataFrames but declares no df_state() would
+    checkpoint as config-only and silently lose its fitted model — the
+    failure mode is a restore that crashes (or worse, mislabels) later.
+    Refuse to write the incomplete checkpoint instead."""
+    hidden = [k for k, v in vars(check).items() if isinstance(v, DataFrame)]
+    if hidden:
+        raise ValueError(
+            f"{type(check).__name__} '{check.name}' holds DataFrame state "
+            f"{hidden} but df_state() declared nothing — refusing to write "
+            f"an incomplete checkpoint; declare the state in df_state()/"
+            f"restore_state()"
+        )
 
 
 # ------------------------------------------------------------- partials

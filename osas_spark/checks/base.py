@@ -59,6 +59,32 @@ class Check(ABC):
     def load_model(self, d: dict) -> "Check":
         return self
 
+    def df_state(self) -> dict[str, DataFrame]:
+        """Named DataFrame-backed model state to persist as parquet.
+
+        Return the MERGEABLE root state (partials / counts / LM tables),
+        not derived tables — restore_state() re-derives those, so a
+        restored check supports both apply() and fit_incremental().
+        Checks whose whole model is scalar return {} and use
+        model_dict()/load_model() instead.
+        """
+        return {}
+
+    def small_state(self) -> dict:
+        """JSON-serializable scalars saved alongside df_state()."""
+        return {}
+
+    def restore_state(self, dfs: dict[str, DataFrame], small: dict) -> "Check":
+        """Rebuild the fitted model from persisted df_state()+small_state().
+
+        Must fail loudly rather than restore a partially-usable check.
+        """
+        if dfs:
+            raise NotImplementedError(
+                f"{type(self).__name__} has DataFrame state but no restore_state()"
+            )
+        return self
+
 
 def finalize_labels(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Concatenate all per-check label arrays into `labels`

@@ -89,6 +89,12 @@ class CategoricalCheck(Check):
         reference --incremental key-union merge
         (label_generators.py:277-282), exact under any batch order."""
         if getattr(self, "_counts", None) is None:
+            if self._freq is not None:
+                raise ValueError(
+                    f"{self.name}: fitted model present but mergeable "
+                    f"counts missing — cannot fit_incremental exactly; "
+                    f"restore via checkpoint.load_suite (df_state) or refit"
+                )
             return self.fit(df)
         w = F.col(self.count_column).cast("double") if self.count_column else F.lit(1.0)
         new = self._with_keys(df).groupBy(*self._key_cols()).agg(F.sum(w).alias("cnt"))
@@ -171,15 +177,17 @@ class CategoricalCheck(Check):
         sfx = self._suffix()
         return [f"UNSEEN_{sfx}", f"LOW_OBS_COUNT_FOR_{sfx}", f"LOW_OBS_PROB_FOR_{sfx}"]
 
-    def model_dict(self) -> dict:
-        return {
-            "fields": self.fields,
-            "group_by": self.group_by,
-            "freq": [r.asDict() for r in self._freq.collect()] if self._freq is not None else None,
-        }
+    # ---------------------------------------------------------- checkpoint
+    def df_state(self) -> dict:
+        """Persist the mergeable (key, cnt) partials; probabilities and
+        totals are re-derived on restore, and fit_incremental keeps
+        merging new batches into the restored counts exactly."""
+        c = getattr(self, "_counts", None)
+        return {"counts": c} if c is not None else {}
 
-    def load_model(self, d: dict) -> "CategoricalCheck":
-        if d.get("freq"):
-            from osas_spark.session import get_spark
-            self._freq = get_spark().createDataFrame(d["freq"])
-        return self
+    def restore_state(self, dfs: dict, small: dict) -> "CategoricalCheck":
+        self._counts = dfs["counts"]
+        return self._finalize(self._counts)
+
+    def model_dict(self) -> dict:
+        return {"fields": self.fields, "group_by": self.group_by}

@@ -106,6 +106,15 @@ class NumericCheck(Check):
         from osas_spark.sketch import merge_numeric_partials
 
         if getattr(self, "_partials", None) is None:
+            if self._global is not None or self._stats is not None:
+                # finalized stats without mergeable partials (e.g. a
+                # legacy restore) — refitting would silently REPLACE the
+                # accumulated model with new-batch-only statistics
+                raise ValueError(
+                    f"{self.name}: fitted model present but mergeable "
+                    f"partials missing — cannot fit_incremental exactly; "
+                    f"restore via checkpoint.load_suite (df_state) or refit"
+                )
             return self.fit(df)
         self._partials = merge_numeric_partials(self._partials, self._partial(df))
         self._finalize()
@@ -200,19 +209,21 @@ class NumericCheck(Check):
         ]
 
     # ---------------------------------------------------------- checkpoint
+    def df_state(self) -> dict:
+        """Persist the MERGEABLE (group, n, sx, sxx) partials — not the
+        finalized stats — so a restored check both applies AND keeps
+        accepting fit_incremental batches exactly (the finalized model
+        is re-derived by restore_state)."""
+        p = getattr(self, "_partials", None)
+        return {"partials": p} if p is not None else {}
+
+    def restore_state(self, dfs: dict, small: dict) -> "NumericCheck":
+        self._partials = dfs["partials"]
+        self._finalize()
+        return self
+
     def model_dict(self) -> dict:
         d = {"field": self.field, "group_by": self.group_by}
         if self._global:
             d["global"] = list(self._global)
-        if self._stats is not None:
-            d["grouped"] = [r.asDict() for r in self._stats.collect()]
         return d
-
-    def load_model(self, d: dict) -> "NumericCheck":
-        if "global" in d:
-            self._global = tuple(d["global"])
-        if "grouped" in d:
-            from osas_spark.session import get_spark
-            spark = get_spark()
-            self._stats = spark.createDataFrame(d["grouped"])
-        return self

@@ -66,5 +66,17 @@ class ReferentialCheck(Check):
     def violation_labels(self) -> list[str]:
         return [f"UNSEEN_{self.fk.upper()}", f"{self.fk.upper()}_NULL"]
 
+    # ---------------------------------------------------------- checkpoint
+    def df_state(self) -> dict:
+        """Persist the dictionary itself — the checkpoint is then
+        self-contained (restore does not trust the constructor's dim to
+        match the one the suite was validated against)."""
+        return {"dim": self._dim}
+
+    def restore_state(self, dfs: dict, small: dict) -> "ReferentialCheck":
+        self._dim = dfs["dim"]
+        self._bcast = None
+        return self
+
     def model_dict(self) -> dict:
-        return {"fk": self.fk, "dim": [r[0] for r in self._dim.collect()]}
+        return {"fk": self.fk}

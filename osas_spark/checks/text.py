@@ -190,6 +190,35 @@ class TextCheck(Check):
     def violation_labels(self) -> list[str]:
         return [f"TEXT_{self.field.upper()}_PERPLEXITY_OUTLIER"]
 
+    # ---------------------------------------------------------- checkpoint
+    def df_state(self) -> dict:
+        """The fitted LM is two DataFrames — vocab and (ngram, order,
+        cnt, total) counts; both persist as parquet so the expensive
+        fit is never silently lost at save time."""
+        out = {}
+        if self._vocab is not None:
+            out["vocab"] = self._vocab
+        if self._model is not None:
+            out["model"] = self._model
+        return out
+
+    def small_state(self) -> dict:
+        return {"px_stats": list(self._px_stats)} if self._px_stats else {}
+
+    def restore_state(self, dfs: dict, small: dict) -> "TextCheck":
+        if "vocab" not in dfs or "model" not in dfs or not small.get("px_stats"):
+            raise ValueError(
+                f"TextCheck '{self.name}' checkpoint is incomplete "
+                f"(need vocab+model parquet and px_stats): dfs={sorted(dfs)}"
+            )
+        self._vocab = dfs["vocab"]
+        self._model = dfs["model"]
+        px = small["px_stats"]
+        self._px_stats = (float(px[0]), float(px[1]))
+        self._bcast_vocab = None
+        self._bcast_model = None
+        return self
+
     def model_dict(self) -> dict:
         return {
             "field": self.field, "mode": self.mode,

@@ -74,10 +74,17 @@ def build_check(spark: SparkSession, spec: dict):
     if t == "text":
         from osas_spark.checks.text import TextCheck
 
+        id_cols = spec.get("id_cols")
+        if not id_cols:
+            raise ValueError(
+                "text check requires id_cols (unique row identifier columns "
+                "for the deterministic perplexity join-back), e.g. "
+                "{type: text, field: content, id_cols: [repo, path, commit]}"
+            )
         kwargs = {k: v for k, v in spec.items() if k not in ("type", "field", "id_cols")}
         if "ngram_range" in kwargs:
             kwargs["ngram_range"] = tuple(kwargs["ngram_range"])
-        return TextCheck(spec["field"], id_cols=spec["id_cols"], **kwargs)
+        return TextCheck(spec["field"], id_cols=id_cols, **kwargs)
     raise ValueError(f"unknown check type: {t!r}")
 
 

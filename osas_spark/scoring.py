@@ -34,8 +34,12 @@ UNSEEN_PENALTY = 1e-8  # reference anomaly.py:348
 def _combos(labels: F.Column, max_order: int = 3) -> F.Column:
     """Array of combo-key strings: all k-element combinations
     (k <= max_order) of the SORTED label array, joined with '|'.
-    i<j<k index nesting keeps combinations (not permutations)."""
-    s = F.array_sort(F.array_distinct(labels))
+    i<j<k index nesting keeps combinations (not permutations).
+
+    Duplicate labels are KEPT, matching the reference exactly
+    (anomaly.py:250-284): ['a','a'] yields two '(a)' unigrams and one
+    '(a,a)' bigram — no dedup before enumeration."""
+    s = F.array_sort(labels)
     n = F.size(s)
     idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
     one = F.transform(s, lambda x: x)

@@ -63,6 +63,77 @@ def test_partials_checkpoint_resume(spark, code_files, tmp_path):
     assert r == w
 
 
+def test_text_check_checkpoint_roundtrip(spark, code_files, tmp_path):
+    """The fitted LM (vocab + ngram counts + px stats) survives
+    save/load — previously the DataFrame state was silently dropped and
+    apply() crashed on the restored suite (ADVICE r01, high)."""
+    from osas_spark.checks.text import TextCheck
+
+    df = code_files.limit(300).cache()
+    ids = ["repo", "path", "commit"]
+
+    def make():
+        return ValidationSuite(
+            [TextCheck("path", id_cols=ids, mode="char", ngram_range=(2, 2))]
+        )
+
+    fitted = make().fit(df)
+    expected = sorted(
+        (r["path"], r[fitted.checks[0].label_col][0])
+        for r in fitted.transform(df).collect()
+    )
+    ckpt = str(tmp_path / "text_ckpt")
+    save_suite(fitted, ckpt)
+
+    restored = load_suite(make(), ckpt, spark)
+    got = sorted(
+        (r["path"], r[restored.checks[0].label_col][0])
+        for r in restored.transform(df).collect()
+    )
+    assert got == expected
+
+
+def test_restore_then_fit_incremental_exact(spark, code_files, tmp_path):
+    """checkpoint -> restore -> fit_incremental(batch2) must equal a
+    single fit over batch1+batch2 (ADVICE r01: partials are persisted,
+    not just finalized stats)."""
+    df = code_files.withColumn("clen", F.length("content"))
+    b1 = df.where(F.col("commit") <= "c000002")
+    b2 = df.where(F.col("commit") > "c000002")
+
+    def make():
+        return ValidationSuite([
+            NumericCheck("clen", group_by=["lang"], name="nclen"),
+            CategoricalCheck("lang", absolute_threshold=3),
+        ])
+
+    part = make().fit(b1)
+    ckpt = str(tmp_path / "inc_ckpt")
+    save_suite(part, ckpt)
+    resumed = load_suite(make(), ckpt, spark).fit_incremental(b2)
+    whole = make().fit(df)
+
+    rs = {r["lang"]: (r["n"], round(r["mean"], 6), round(r["std"], 6))
+          for r in resumed.checks[0]._stats.collect()}
+    ws = {r["lang"]: (r["n"], round(r["mean"], 6), round(r["std"], 6))
+          for r in whole.checks[0]._stats.collect()}
+    assert rs == ws
+    rf = {tuple(r[k] for k in ("__k_lang",)): (r["cnt"], round(r["prob"], 9))
+          for r in resumed.checks[1].frequency_table().collect()}
+    wf = {tuple(r[k] for k in ("__k_lang",)): (r["cnt"], round(r["prob"], 9))
+          for r in whole.checks[1].frequency_table().collect()}
+    assert rf == wf
+
+
+def test_fit_incremental_without_partials_fails_loudly(spark, code_files):
+    df = code_files.withColumn("clen", F.length("content"))
+    chk = NumericCheck("clen").fit(df)
+    chk._partials = None  # simulate a legacy restore (finalized only)
+    import pytest
+    with pytest.raises(ValueError, match="partials missing"):
+        chk.fit_incremental(df)
+
+
 def test_config_builds_suite(spark, code_files):
     from osas_spark.config import suite_from_dict
     from osas_spark.datagen import LANGS

@@ -44,6 +44,25 @@ def test_ngram_combination_scorer_hand_computed(spark):
     assert scores[3] > scores[1]               # rarer combo scores higher
 
 
+def test_scorer_keeps_duplicate_labels_reference_parity(spark):
+    """Reference anomaly.py:250-284 enumerates over the sorted list
+    WITHOUT dedup: ['a','a'] gives two '(a)' unigrams and an '(a,a)'
+    bigram."""
+    df = spark.createDataFrame(
+        [(1, ["a", "a"]), (2, ["a", "b"])], schema="id long, labels array<string>"
+    )
+    scorer = NGramCombinationScorer("labels", max_order=2).fit(df)
+    model = {(r["combo"], r["order"]): (r["cnt"], r["total"])
+             for r in scorer.combo_table().collect()}
+    assert model[("a", 1)] == (3, 4)       # two from row 1, one from row 2
+    assert model[("a|a", 2)] == (1, 2)     # the duplicate bigram exists
+    scores = {r["id"]: r["score"] for r in scorer.score(df, id_cols=["id"]).collect()}
+    exp_r1 = -(2 * math.log(3 / 4) + math.log(1 / 2))
+    exp_r2 = -(math.log(3 / 4) + math.log(1 / 4) + math.log(1 / 2))
+    assert math.isclose(scores[1], exp_r1, rel_tol=1e-9)
+    assert math.isclose(scores[2], exp_r2, rel_tol=1e-9)
+
+
 def test_scorer_three_way_combos(spark):
     df = spark.createDataFrame(
         [(1, ["x", "y", "z"])], schema="id long, labels array<string>"
@@ -82,7 +101,7 @@ def test_autoconfig_suggests_sane_spec(spark, code_files):
     assert types["content"] == "text"
     spec = suggest_checks(
         df.select("repo", "path", "commit", "lang", "clen"),
-        id_cols=["repo", "path", "commit"], partition_col="commit",
+        id_cols=["repo", "path"], partition_col="commit",
     )
     kinds = [c["type"] for c in spec["checks"]]
     assert kinds[0] == "uniqueness"
@@ -90,6 +109,26 @@ def test_autoconfig_suggests_sane_spec(spark, code_files):
     # pairwise combiners over multinomial columns
     assert any(c["type"] == "categorical" and len(c["fields"]) == 2
                for c in spec["checks"])
+    # identifier columns never get per-value checks (ADVICE r01): an
+    # integer id would otherwise become a noise NumericCheck
+    targeted = [c.get("field") or (c.get("fields") or [None])[0]
+                for c in spec["checks"] if c["type"] != "uniqueness"]
+    assert "repo" not in targeted and "path" not in targeted
+
+
+def test_autoconfig_text_without_ids_is_skipped_not_broken(spark, code_files):
+    """A table with a text column but no id_cols must yield a spec that
+    suite_from_dict accepts (previously: KeyError on id_cols)."""
+    from osas_spark.autoconfig import suggest_checks
+    from osas_spark.config import suite_from_dict
+
+    spec = suggest_checks(code_files.select("lang", "content"))
+    assert all(c["type"] != "text" for c in spec["checks"])
+    suite_from_dict(spark, spec)  # must not raise
+
+    import pytest
+    with pytest.raises(ValueError, match="id_cols"):
+        suite_from_dict(spark, {"checks": [{"type": "text", "field": "content"}]})
 
 
 def test_runner_fit_then_score(spark, code_files, tmp_path, capsys):
