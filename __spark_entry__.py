@@ -251,6 +251,94 @@ SELECT band, CAST(count(*) AS BIGINT) AS n FROM (
 """
 
 
+def _spike_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined stdev+spike band classification (reference P4,
+    label_generators.py:355-400): rows within the stdev outlier
+    threshold are NORMAL; beyond it the spike ratio against the
+    (+sigma)-shifted mean decides BORDERLINE/OUTLIER."""
+    from osas_spark.checks import NumericCheck
+
+    ev = _t(spark, sf_dir, "events")
+    nc = NumericCheck(
+        "value", stdev=True, spike="ratio",
+        stdev_outlier_threshold=2.0,
+        spike_borderline_threshold=0.5, spike_outlier_threshold=2.0,
+        name="spike",
+    ).fit(ev)
+    labeled = nc.apply(ev)
+    return (
+        labeled.select(F.element_at(F.col(nc.label_col), 1).alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_SPIKE_BANDS_SQL = """
+WITH st AS (
+  SELECT avg(value) AS mu,
+         CASE WHEN stddev_pop(value) <= 0 THEN 0.01
+              ELSE stddev_pop(value) END AS sigma
+  FROM events
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE
+    WHEN abs(value - mu) / sigma < 2.0 THEN 'VALUE_NORMAL'
+    WHEN value / (CASE WHEN mu + sigma = 0 THEN 0.01 ELSE mu + sigma END) >= 2.0
+      THEN 'VALUE_OUTLIER'
+    WHEN value / (CASE WHEN mu + sigma = 0 THEN 0.01 ELSE mu + sigma END) > 0.5
+      THEN 'VALUE_BORDERLINE'
+    WHEN value / (CASE WHEN mu + sigma = 0 THEN 0.01 ELSE mu + sigma END) < 0.5
+      THEN 'VALUE_NORMAL'
+    ELSE NULL END AS band
+  FROM events, st
+) GROUP BY 1
+"""
+
+
+def _grouped_unseen_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped NumericCheck UNSEEN/RARE keys (reference P5,
+    label_generators.py:468-498): fit on a deterministic training split
+    that EXCLUDES some users entirely (user_id % 11 == 3 -> UNSEEN) and
+    starves others to <= 5 rows (user_id % 5 == 1 keeps 1-in-31 events
+    -> RARE); apply to the full table."""
+    from osas_spark.checks import NumericCheck
+
+    ev = _t(spark, sf_dir, "events")
+    train = ev.where(
+        (F.col("user_id") % 11 != 3)
+        & ((F.col("user_id") % 5 != 1) | (F.col("event_id") % 31 == 0))
+    )
+    nc = NumericCheck("value", group_by=["user_id"], name="gvalue").fit(train)
+    labeled = nc.apply(ev)
+    return (
+        labeled.select(F.element_at(F.col(nc.label_col), 1).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_GROUPED_UNSEEN_RARE_SQL = """
+WITH tr AS (
+  SELECT user_id, count(*)::DOUBLE AS n, avg(value) AS mu,
+         CASE WHEN stddev_pop(value) <= 0 THEN 0.01
+              ELSE stddev_pop(value) END AS sigma
+  FROM events
+  WHERE user_id % 11 <> 3 AND (user_id % 5 <> 1 OR event_id % 31 = 0)
+  GROUP BY 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE
+    WHEN tr.user_id IS NULL THEN 'UNSEEN_KEY_FOR_VALUE'
+    WHEN tr.n <= 5 THEN 'RARE_KEY_FOR_VALUE'
+    WHEN abs(e.value - tr.mu) / tr.sigma >= 2.0 THEN 'VALUE_OUTLIER'
+    WHEN abs(e.value - tr.mu) / tr.sigma > 1.0 THEN 'VALUE_BORDERLINE'
+    WHEN abs(e.value - tr.mu) / tr.sigma < 1.0 THEN 'VALUE_NORMAL'
+    ELSE NULL END AS label
+  FROM events e LEFT JOIN tr ON e.user_id = tr.user_id
+) GROUP BY 1
+"""
+
+
 def _rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CategoricalCheck frequency model + LOW_OBS_COUNT labeling (P6)."""
     from osas_spark.checks import CategoricalCheck
@@ -668,16 +756,44 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via sign-LSH buckets (rows-only:
-    hyperplane hashing has no ANSI-SQL analogue)."""
+    """Embedding-cosine near-dup pairs via sign-LSH buckets, over the
+    fixture PLUS 10 planted near-duplicates (vec * 1.001, id + 10^6) —
+    the raw fixture's max pairwise cosine is 0.513, so without planting
+    the operator's output is vacuously empty. The oracle is the exact
+    all-pairs cosine filter: LSH with probe_bits=1 must find exactly
+    the planted pairs (scaled copies share every sign bit, and the
+    in-bucket cosine is exact)."""
     from osas_spark.functions.dedup import embedding_near_duplicates
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = emb.unionByName(planted)
     return embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.9, n_planes=8
-    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        allv, "vec_id", "embedding", threshold=0.9, n_planes=8, probe_bits=1
+    ).select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+_DEDUP_EMBEDDING_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+  FROM e WHERE vec_id < 10
+),
+allv AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 3) AS cosine FROM pr WHERE cos >= 0.9
+"""
 
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,18 +878,37 @@ FROM s QUALIFY rnk <= 10
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the scale path; rows-only check)."""
-    from osas_spark.functions.similarity import cosine_topk_lsh
+    """Sign-LSH bucketed ANN (the scale path). Output is the per-query
+    RECALL@10 against the exact brute-force baseline (ann_topk, which
+    is oracle-green) — the approximation quality is measured in-query,
+    not implied. Rows-only: the bucket assignment has no SQL analogue,
+    but the recall column is the evidence (tests additionally assert a
+    hard >= 0.5 bound)."""
+    from osas_spark.functions.similarity import (
+        cosine_topk_bruteforce, cosine_topk_lsh,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     q = emb.where(F.col("vec_id") <= 2)
-    top = cosine_topk_lsh(emb, q, k=10, n_planes=8, multiprobe=2)
-    return top.select(
-        "query_id", "neighbor_id",
-        F.round("cosine", 4).alias("cosine"),
-        F.col("rank").cast("long").alias("rnk"),
+    k = 10
+    lsh = cosine_topk_lsh(emb, q, k=k, n_planes=8, multiprobe=2)
+    bf = cosine_topk_bruteforce(emb, q, k=k).select("query_id", "neighbor_id")
+    returned = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("returned"))
+    hits = (
+        lsh.select("query_id", "neighbor_id")
+        .join(bf, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        returned.join(hits, on="query_id", how="left")
+        .fillna(0, subset=["hits"])
+        .select(
+            "query_id", "returned", "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 2).alias("recall"),
+        )
     )
 
 
@@ -1253,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_map": _freq_map,
         "grouped_stats": _grouped_stats,
         "stdev_bands": _stdev_bands,
+        "spike_bands": _spike_bands,
+        "grouped_unseen_rare": _grouped_unseen_rare,
         "rare_categories": _rare_categories,
         "pair_freq": _pair_freq,
         "rules_score": _rules_score,
@@ -1294,6 +1431,8 @@ def oracle_sql() -> dict[str, str]:
         "freq_map": _FREQ_MAP_SQL,
         "grouped_stats": _GROUPED_STATS_SQL,
         "stdev_bands": _STDEV_BANDS_SQL,
+        "spike_bands": _SPIKE_BANDS_SQL,
+        "grouped_unseen_rare": _GROUPED_UNSEEN_RARE_SQL,
         "rare_categories": _RARE_CATEGORIES_SQL,
         "pair_freq": _PAIR_FREQ_SQL,
         "rules_score": _RULES_SCORE_SQL,
@@ -1307,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_perplexity": _TEXT_PERPLEXITY_SQL,

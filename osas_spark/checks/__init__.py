@@ -6,3 +6,4 @@ from osas_spark.checks.referential import ReferentialCheck  # noqa: F401
 from osas_spark.checks.rules import RuleCheck, KeywordCheck, RegexLabelCheck  # noqa: F401
 from osas_spark.checks.drift import DriftCheck  # noqa: F401
 from osas_spark.checks.text import TextCheck  # noqa: F401
+from osas_spark.checks.inference import InferenceCheck, GroupedTrainingSlot  # noqa: F401

@@ -116,8 +116,11 @@ class CategoricalCheck(Check):
             total = counts.agg(F.sum("cnt").alias("total"))
             counts = counts.crossJoin(F.broadcast(total))
         self._freq = counts.withColumn("prob", F.col("cnt") / F.col("total"))
-        self._bcast = None          # model changed — re-probe on next apply
         self._bcast_buckets = None
+        # probe (and persist) the model NOW: fit() runs inside the
+        # suite's thread pool, so per-check probe jobs overlap instead
+        # of serializing through transform()
+        _, self._bcast = broadcast_if_small(self._freq, self.broadcast_limit_rows)
         return self
 
     def frequency_table(self) -> DataFrame:

@@ -1,0 +1,158 @@
+"""Pluggable external-model slots — the reference's ML surface as
+architecture, without shipping models.
+
+InferenceCheck reimplements the SHAPE of the reference's external-model
+label generators (reference src/osas/core/label_generators.py:44-141,
+ObfuscationField / LOLField: load a pretrained classifier, run it per
+row, emit labels). The reference bundles sklearn pickles and loops
+row-by-row; here the model is a user-supplied VECTORIZED callable
+executed over Arrow batches (pandas_udf) — the same gate pattern as
+multimodal.set_decoder: the engine owns schema, batching and label
+plumbing; the model owner owns the model. No pickle ships with the
+engine and apply() fails loudly when no model is plugged in.
+
+GroupedTrainingSlot reimplements the SHAPE of the reference's
+supervised classifier fit (reference src/osas/core/anomaly.py:371-449):
+the reference trains one sklearn model driver-side over the whole
+dataset; here training is an applyInPandas over group keys — each
+group's rows arrive as ONE pandas DataFrame on an executor, the
+user-supplied train_fn returns the fitted parameters as rows, and the
+result is a plain params DataFrame (checkpointable as parquet, no
+pickle). At 10^12 rows you train thousands of per-group models in
+parallel instead of one driver-side fit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+class InferenceCheck(Check):
+    """Arrow-batched pluggable classifier check (reference P11 slot).
+
+    model: Callable[[pandas.Series], Sequence] — takes the raw column
+    values for one Arrow batch, returns per-row labels: a string, a
+    list of strings, or None/[] for no label. Must be picklable (it is
+    shipped to executors) and vectorized — it sees whole batches,
+    never single rows.
+    """
+
+    def __init__(
+        self,
+        field_name: str,
+        model: Callable | None = None,
+        violations: list[str] | None = None,
+        name: str | None = None,
+    ):
+        self.field = field_name
+        self._model = model
+        self.name = name or f"inference_{field_name}"
+        # the engine cannot know an external model's label vocabulary;
+        # the caller declares which labels count as violations
+        # (reference LOLField emits e.g. LOL_ANOMALY)
+        self.violations = list(violations) if violations else []
+
+    def set_model(self, model: Callable) -> "InferenceCheck":
+        """Plug the vectorized classifier in (same gate pattern as
+        multimodal.set_decoder)."""
+        self._model = model
+        return self
+
+    def fit(self, df: DataFrame) -> "InferenceCheck":
+        # externally-trained model: nothing to fit; fail early if the
+        # slot is empty so a mis-assembled suite dies in phase 1, not
+        # mid-scoring
+        if self._model is None:
+            raise RuntimeError(
+                f"InferenceCheck '{self.name}' has no model plugged in — "
+                f"call set_model(fn) with a vectorized batch classifier"
+            )
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self._model is None:
+            raise RuntimeError(
+                f"InferenceCheck '{self.name}' has no model plugged in — "
+                f"call set_model(fn) with a vectorized batch classifier"
+            )
+        from pyspark.sql.functions import pandas_udf
+
+        model = self._model  # close over the fn, not self
+
+        @pandas_udf("array<string>")
+        def infer(batch: pd.Series) -> pd.Series:
+            out = model(batch)
+            labels = []
+            for x in out:
+                if x is None:
+                    labels.append([])
+                elif isinstance(x, str):
+                    labels.append([x])
+                else:
+                    labels.append([str(v) for v in x])
+            return pd.Series(labels)
+
+        return df.withColumn(self.label_col, infer(F.col(self.field)))
+
+    def violation_labels(self) -> list[str]:
+        return self.violations
+
+    def model_dict(self) -> dict:
+        return {"field": self.field, "external_model": True}
+
+
+class GroupedTrainingSlot:
+    """applyInPandas per-group trainer (reference A14 slot).
+
+    train_fn(key: tuple, pdf: pandas.DataFrame) -> pandas.DataFrame of
+    fitted parameter rows matching `model_schema` (include the group
+    columns). The params table is a plain DataFrame — checkpointable as
+    parquet, joinable back to the data for scoring, no pickle anywhere.
+    """
+
+    def __init__(
+        self,
+        group_cols: list[str],
+        train_fn: Callable,
+        model_schema: str,
+    ):
+        self.group_cols = list(group_cols)
+        self.train_fn = train_fn
+        self.model_schema = model_schema
+        self._params: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> DataFrame:
+        """One shuffle on the group key; each group trains on one
+        executor as a single Arrow-backed pandas frame. Returns (and
+        retains) the params DataFrame."""
+        self._params = df.groupBy(*self.group_cols).applyInPandas(
+            self.train_fn, schema=self.model_schema
+        )
+        return self._params
+
+    def params(self) -> DataFrame:
+        assert self._params is not None, "call fit() first"
+        return self._params
+
+    def score(
+        self,
+        df: DataFrame,
+        score_expr: Callable[[DataFrame], F.Column],
+        score_col: str = "score",
+    ) -> DataFrame:
+        """Join the params back (size-gated broadcast) and evaluate a
+        caller-supplied column expression over (row columns + params
+        columns) — scoring stays JVM-side even though training was
+        Python."""
+        from osas_spark.joins import broadcast_if_small
+
+        params, _ = broadcast_if_small(self.params())
+        joined = df.join(params, on=self.group_cols, how="left")
+        return joined.withColumn(score_col, score_expr(joined))

@@ -83,9 +83,12 @@ class NumericCheck(Check):
         from osas_spark.sketch import finalize_numeric
 
         stats = finalize_numeric(self._partials)
-        self._bcast = None  # model changed — re-probe on next apply
         if self.group_by:
             self._stats = stats
+            # probe+persist now (fit runs in the suite thread pool)
+            _, self._bcast = broadcast_if_small(
+                self._stats, self.broadcast_limit_rows
+            )
         else:
             row = stats.collect()[0]
             self._global = (float(row["n"]), float(row["mean"]), float(row["std"]))

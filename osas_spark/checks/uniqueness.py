@@ -56,7 +56,9 @@ class UniquenessCheck(Check):
             .agg(F.sum("__c").alias("dup_count"))
             .where(F.col("dup_count") > 1)
         )
-        self._bcast = None  # model changed — re-probe on next apply
+        # probe+persist now (fit runs in the suite thread pool); the
+        # apply()-join then reads the cached dup set
+        _, self._bcast = broadcast_if_small(self._dups, self.broadcast_limit_rows)
         return self
 
     def duplicates(self) -> DataFrame:

@@ -95,7 +95,6 @@ def lsh_buckets(
 
     Docs sharing any band bucket are near-dup candidates.
     """
-    n = None  # rows per band derived from signature length at plan time
     sig = F.col(sig_col)
     rows_per_band = F.size(sig) / bands
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -131,19 +130,27 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.7,
     max_bucket: int = 64,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold).
 
     Pipeline: signatures -> band buckets -> in-bucket self-join
     (id_a < id_b) -> estimated Jaccard = matching signature fraction.
     Buckets larger than `max_bucket` (boilerplate clusters) are dropped
-    with a count so the pair join stays bounded — at web scale a single
-    degenerate bucket otherwise produces billions of pairs.
+    so the pair join stays bounded — at web scale a single degenerate
+    bucket otherwise produces billions of pairs. The drop is NOT
+    silent: pass `metrics={}` and it is populated with
+    ``metrics["dropped_buckets"]`` — a lazy DataFrame of
+    (band, bucket, bs) for every dropped bucket — so callers can count
+    or inspect what the cap excluded without paying for the count when
+    they don't care.
     """
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, n_hashes, shingle_k)
     bucketed = lsh_buckets(sigs, bands=bands).select(id_col, "minhash", "band", "bucket")
 
     bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+    if metrics is not None:
+        metrics["dropped_buckets"] = bucket_sizes.where(F.col("bs") > max_bucket)
     bounded = bucketed.select(id_col, "band", "bucket").join(
         bucket_sizes.where(F.col("bs") <= max_bucket), on=["band", "bucket"]
     )
@@ -251,13 +258,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 1000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """EXACT Jaccard over word n-gram sets via an inverted-index join.
 
     shared(a,b) = count of common shingles (groupBy pair), then
     J = shared / (|a| + |b| - shared). Shingles with document frequency
-    above `max_doc_freq` are dropped before the self-join (stopword
+    above `max_doc_freq` are dropped before pair generation (stopword
     shingles would otherwise dominate the pair count quadratically).
+    The cutoff is NOT silent: pass `metrics={}` and
+    ``metrics["dropped_grams"]`` is populated with a lazy DataFrame of
+    (gram, df) for every dropped shingle.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
@@ -269,33 +280,32 @@ def ngram_jaccard_pairs(
 
     # posting-list pair generation: ONE shuffle on gram builds the
     # sorted posting list (capped at max_doc_freq, dropping boilerplate
-    # shingles), then all C(n,2) ordered pairs explode from the array —
-    # versus a self-join this saves a second full shuffle of the
-    # postings and lets the df-cutoff apply before any pair exists
-    postings = (
-        shingled.groupBy("gram")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .where(F.size("docs") <= max_doc_freq)
-        .where(F.size("docs") >= 2)
+    # shingles) — versus a self-join this saves a second full shuffle of
+    # the postings and lets the df-cutoff apply before any pair exists
+    all_postings = shingled.groupBy("gram").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
     )
-    n = F.size("docs")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at("docs", i).alias("id_a"),
-                    F.element_at("docs", j).alias("id_b"),
-                ),
-            ),
-        )
+    if metrics is not None:
+        metrics["dropped_grams"] = all_postings.where(
+            F.size("docs") > max_doc_freq
+        ).select("gram", F.size("docs").alias("df"))
+    postings = all_postings.where(
+        (F.size("docs") <= max_doc_freq) & (F.size("docs") >= 2)
     )
-    shared = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # two-level pair explode: first explode the anchor (i), THEN explode
+    # its tail slice — no single row ever materializes C(df, 2) structs
+    # (a gram at the df cap would otherwise build ~500k structs in one
+    # row: a skewed straggler task at scale); per-row width is bounded
+    # by max_doc_freq ids instead
+    anchored = postings.select(
+        "docs", F.posexplode("docs").alias("i", "id_a")
+    )
+    pair_stream = anchored.select(
+        "id_a",
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("id_b"),
+    )
+    shared = pair_stream.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared")
     )
     out = (
         shared.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), on="id_a")
@@ -323,6 +333,33 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _plane_component(p: int, i: F.Column) -> F.Column:
+    """Deterministic pseudo-random plane component in [-1, 1) for
+    (plane p, dimension i) — Knuth multiplicative hash evaluated
+    JVM-side, so the hyperplane needs NO driver-side knowledge of the
+    vector dimension (no .first() probe) and no per-run randomness."""
+    h = F.pmod((F.lit(p * 1_000_003).cast("long") + i) * F.lit(2654435761).cast("long"),
+               F.lit(2 ** 32).cast("long"))
+    return h.cast("double") / F.lit(float(2 ** 31)) - F.lit(1.0)
+
+
+def sign_bucket(vec: F.Column, n_planes: int, flip: int = -1) -> F.Column:
+    """Sign-LSH bucket id over deterministic hyperplanes; flip >= 0
+    inverts that plane's bit (multiprobe). Cosine-preserving: the
+    probability two vectors share all sign bits rises with their
+    cosine, so near-duplicates collide."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    total = None
+    for p in range(n_planes):
+        comps = F.transform(idx, lambda i, p=p: _plane_component(p, i))
+        bit = F.when(_dot(vec, comps) >= 0, F.lit(1)).otherwise(F.lit(0))
+        if p == flip:
+            bit = F.lit(1) - bit
+        term = bit * F.lit(2 ** p)
+        total = term if total is None else total + term
+    return total
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -333,31 +370,24 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Cosine near-dup pairs via sign-LSH bucketing.
 
-    Hyperplanes are deterministic pseudo-random unit-ish vectors derived
-    from xxhash64(plane, dim) — no driver-side randomness, identical
-    across runs/partitionings. Pairs are only compared inside a bucket;
-    with `probe_bits` > 0 neighboring buckets (Hamming<=probe_bits in
-    sign space) are probed too via multi-explode.
+    Hyperplanes are deterministic pseudo-random vectors computed
+    JVM-side from (plane, dim-index) — no driver-side randomness or
+    dimension probe, identical across runs/partitionings. Pairs are
+    only compared inside a bucket; with `probe_bits` = 1 each row is
+    also placed in the n_planes single-bit-flipped neighbor buckets, so
+    a near-dup pair straddling one hyperplane still collides (recall at
+    the cost of (1 + n_planes)x bucket entries).
     """
-    dim = len(df.select(vec_col).first()[0])
-
-    def _pseudo(p: int, i: int) -> float:
-        # Knuth multiplicative hash -> [-1, 1); deterministic, seedless
-        return (((p * 1_000_003 + i) * 2654435761) % (2 ** 32)) / (2 ** 31) - 1.0
-
-    planes = [[_pseudo(p, i) for i in range(dim)] for p in range(n_planes)]
-    sign_bits = []
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(v)) for v in plane])
-        sign_bits.append(
-            F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit(1)).otherwise(F.lit(0))
-            * F.lit(2 ** p)
+    base = df.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    ).withColumn("nrm", _norm(F.col(vec_col)))
+    if probe_bits >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[sign_bucket(F.col(vec_col), n_planes, flip=p) for p in range(n_planes)],
         )
-    bucket = sum(sign_bits[1:], sign_bits[0]).alias("bucket")
-
-    base = df.select(F.col(id_col), F.col(vec_col), bucket).withColumn(
-        "nrm", _norm(F.col(vec_col))
-    )
+        base = base.withColumn("bucket", F.explode(probes))
     a = base.select(
         "bucket", F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a"),
@@ -366,11 +396,14 @@ def embedding_near_duplicates(
         "bucket", F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b"),
     )
-    pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from osas_spark.functions.dedup import _dot, _norm
+from osas_spark.functions.dedup import _dot, _norm, sign_bucket
 
 
 def cosine_topk_bruteforce(
@@ -55,24 +55,6 @@ def cosine_topk_bruteforce(
     )
 
 
-def _bucket_expr(vec_col: str, n_planes: int, dim: int, flip: int = -1) -> F.Column:
-    """Sign-LSH bucket id; flip >= 0 inverts that plane's bit (probing)."""
-    from osas_spark.functions.dedup import embedding_near_duplicates  # noqa: F401
-
-    def _pseudo(p: int, i: int) -> float:
-        return (((p * 1_000_003 + i) * 2654435761) % (2 ** 32)) / (2 ** 31) - 1.0
-
-    total = None
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_pseudo(p, i)) for i in range(dim)])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        if p == flip:
-            bit = F.lit(1) - bit
-        term = bit * F.lit(2 ** p)
-        total = term if total is None else total + term
-    return total
-
-
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,15 +72,16 @@ def cosine_topk_lsh(
     At scale this replaces the full cross product with a join whose
     right side is |Q| * (1+multiprobe) rows — the corpus side is
     shuffled once on the bucket key (or the query side broadcast).
+    Bucket ids come from the shared deterministic sign_bucket expression
+    (dedup.py) — no driver-side dimension probe.
     """
-    dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("bucket", _bucket_expr("c_vec", n_planes, dim)).withColumn(
+    ).withColumn("bucket", sign_bucket(F.col("c_vec"), n_planes)).withColumn(
         "c_nrm", _norm(F.col("c_vec"))
     )
-    probes = [_bucket_expr("q_vec", n_planes, dim)] + [
-        _bucket_expr("q_vec", n_planes, dim, flip=f) for f in range(multiprobe)
+    probes = [sign_bucket(F.col("q_vec"), n_planes)] + [
+        sign_bucket(F.col("q_vec"), n_planes, flip=f) for f in range(multiprobe)
     ]
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))

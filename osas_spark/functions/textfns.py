@@ -82,7 +82,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts over the
     lowercased whitespace tokens; predicted = argmax (ties -> lexicographic
-    smallest language, 'und' when no hits)."""
+    largest language via the desc struct sort, 'und' when no hits)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hit_cols = []
     for lang, stops in sorted(STOPWORDS.items()):
@@ -98,9 +98,6 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.struct(F.col(f"hits_{lang}").alias("h"), F.lit(lang).alias("lang"))
         for lang, _ in hit_cols
     ])
-    best = F.array_max(F.filter(pairs, lambda s: s["h"] > 0))
-    # array_max on struct orders by first field then second — ties pick
-    # the lexicographically LARGEST lang; flip via sort for determinism
     sorted_pairs = F.sort_array(pairs, asc=False)
     top = F.element_at(sorted_pairs, 1)
     pred = F.when(top["h"] > 0, top["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,82 @@
+"""P11/A14 architecture slots: Arrow-batched pluggable classifier and
+applyInPandas per-group training (VERDICT r01 missing #2/#3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osas_spark.checks import GroupedTrainingSlot, InferenceCheck
+from osas_spark.verdict import ValidationSuite
+
+
+def _make_classifier():
+    """Vectorized fake model: flags long content (a stand-in for the
+    reference's ObfuscationField, which scores command obfuscation).
+    Built as a closure so cloudpickle ships it BY VALUE to executors
+    (a test-module function would pickle by reference and fail to
+    import on workers)."""
+    def classify(batch):
+        return [
+            "SUSPICIOUS_CONTENT" if (ln == ln and ln and ln > 2000) else None
+            for ln in batch.str.len()
+        ]
+    return classify
+
+
+def test_inference_check_labels_through_suite(spark, code_files):
+    chk = InferenceCheck(
+        "content", model=_make_classifier(),
+        violations=["SUSPICIOUS_CONTENT"], name="obfuscation",
+    )
+    suite = ValidationSuite([chk], partition_col="commit").fit(code_files)
+    out = suite.transform(code_files)
+    flagged = out.where(F.array_contains("labels", "SUSPICIOUS_CONTENT")).count()
+    expected = code_files.where(F.length("content") > 2000).count()
+    assert flagged == expected > 0
+    verdicts = {(r["commit"], r["verdict"]) for r in suite.verdicts(out).collect()}
+    assert any(v == "FAIL" for _, v in verdicts)
+
+
+def test_inference_check_fails_loudly_without_model(spark, code_files):
+    chk = InferenceCheck("content", name="empty_slot")
+    with pytest.raises(RuntimeError, match="no model plugged in"):
+        chk.fit(code_files)
+    with pytest.raises(RuntimeError, match="no model plugged in"):
+        chk.apply(code_files)
+    # set_model unblocks both phases
+    chk.set_model(_make_classifier())
+    assert chk.fit(code_files).apply(code_files).count() > 0
+
+
+def test_grouped_training_slot_matches_sql_stats(spark, code_files):
+    """Per-group applyInPandas training equals the exact grouped stats
+    (cross-checks the Arrow path against the JVM aggregation)."""
+    def train_band_model(key, pdf):
+        import pandas as pd
+        sigma = float(pdf["clen"].std(ddof=0))
+        return pd.DataFrame({
+            "lang": [key[0]],
+            "mu": [float(pdf["clen"].mean())],
+            "sigma": [sigma if sigma > 0 else 0.01],
+            "n": [len(pdf)],
+        })
+
+    df = code_files.withColumn("clen", F.length("content").cast("double"))
+    slot = GroupedTrainingSlot(
+        ["lang"], train_band_model,
+        "lang string, mu double, sigma double, n long",
+    )
+    params = {r["lang"]: (r["n"], round(r["mu"], 6), round(r["sigma"], 6))
+              for r in slot.fit(df).collect()}
+    exact = {r["lang"]: (r["n"], round(r["mu"], 6), round(r["sigma"], 6))
+             for r in df.groupBy("lang").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.avg("clen").alias("mu"),
+                 F.greatest(F.stddev_pop("clen"), F.lit(0.01)).alias("sigma"),
+             ).collect()}
+    assert params == exact
+
+    scored = slot.score(
+        df, lambda j: F.abs(F.col("clen") - F.col("mu")) / F.col("sigma")
+    )
+    rows = scored.where(F.col("lang").isNotNull()).select("score").collect()
+    assert len(rows) > 0 and all(r["score"] is not None and r["score"] >= 0 for r in rows)
