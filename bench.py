@@ -33,6 +33,7 @@ HEADLINE = [
     "fingerprint_sha256",  # Arrow pandas-UDF sha256
     "dedup_minhash",       # MinHash+LSH near-dup pairs
     "ngram_jaccard",       # exact n-gram Jaccard via inverted index
+    "text_perplexity",     # n-gram LM fit + perplexity bands (literal-vocab OOV map)
     "ann_topk",            # brute-force cosine top-k
     "tpch_q1",             # aggregation engine headline
     "sessionize",          # window/sessionization

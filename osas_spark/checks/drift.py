@@ -56,15 +56,28 @@ def categorical_drift(
     cat_col: str,
     part_col: str,
     alpha: float = 0.001,
+    baseline: str = "rest",
 ) -> DataFrame:
     """Per-partition chi-square drift verdicts.
 
-    Each partition's observed category counts are tested against
-    expected counts derived from the REST of the dataset (leave-one-out
-    baseline), so a drifted partition cannot dilute its own baseline.
+    baseline="rest" (default): each partition's observed counts are
+    tested against expected counts from the REST of the dataset
+    (leave-one-out), so a partition cannot dilute its own baseline.
+    Documented limit: when one DOMINANT partition drifts, it still
+    poisons every *other* partition's rest-baseline (healthy partitions
+    get flagged alongside it).
+
+    baseline="median": robust variant — the expected proportion of each
+    category is the MEDIAN of the OTHER partitions' per-partition
+    proportions (renormalized to sum 1). A single dominant drifted
+    partition contributes at most one vote per category, so healthy
+    partitions stay clean and the drifted one is still flagged. The
+    median runs over a per-category array of at most #partitions
+    elements — grid-sized work, never row-sized.
 
     Returns (partition, chi2, dof, pvalue, drifted).
     """
+    assert baseline in ("rest", "median")
     counts = (
         df.where(F.col(cat_col).isNotNull())
         .groupBy(part_col, cat_col)
@@ -79,17 +92,52 @@ def categorical_drift(
 
     wc = W.partitionBy(cat_col)
     wp = W.partitionBy(part_col)
-    g = (
-        grid.withColumn("cat_total", F.sum("obs").over(wc))
-        .withColumn("part_total", F.sum("obs").over(wp))
-        .withColumn("rest_cat", F.col("cat_total") - F.col("obs"))
-    )
-    total = g.select(F.sum("obs")).collect()[0][0] or 0
-    g = g.withColumn("rest_total", F.lit(total) - F.col("part_total"))
-    g = g.withColumn(
-        "expected",
-        F.col("rest_cat") / F.col("rest_total") * F.col("part_total"),
-    )
+    g = grid.withColumn("part_total", F.sum("obs").over(wp))
+
+    if baseline == "rest":
+        g = (
+            g.withColumn("cat_total", F.sum("obs").over(wc))
+            .withColumn("rest_cat", F.col("cat_total") - F.col("obs"))
+        )
+        total = g.select(F.sum("obs")).collect()[0][0] or 0
+        g = g.withColumn("rest_total", F.lit(total) - F.col("part_total"))
+        g = g.withColumn(
+            "expected",
+            F.col("rest_cat") / F.col("rest_total") * F.col("part_total"),
+        )
+    else:
+        # median-of-other-partitions proportion per category
+        g = g.withColumn(
+            "prop",
+            F.when(F.col("part_total") > 0, F.col("obs") / F.col("part_total"))
+            .otherwise(F.lit(0.0)),
+        )
+        g = g.withColumn(
+            "all_props", F.collect_list(F.struct(part_col, "prop")).over(wc)
+        )
+        others = F.array_sort(
+            F.transform(
+                F.filter("all_props", lambda s: s[part_col] != F.col(part_col)),
+                lambda s: s["prop"],
+            )
+        )
+        n = F.size(others)
+        mid_hi = (n / 2 + 1).cast("int")
+        mid_lo = ((n + 1) / 2).cast("int")
+        median = F.when(n == 0, F.lit(0.0)).otherwise(
+            (F.element_at(others, mid_lo) + F.element_at(others, mid_hi)) / 2.0
+        )
+        g = g.withColumn("med_prop", median).drop("all_props")
+        # medians across categories need not sum to 1 — renormalize
+        g = g.withColumn("med_sum", F.sum("med_prop").over(wp))
+        g = g.withColumn(
+            "expected",
+            F.when(
+                F.col("med_sum") > 0,
+                F.col("med_prop") / F.col("med_sum") * F.col("part_total"),
+            ).otherwise(F.lit(0.0)),
+        )
+
     per_part = (
         g.where(F.col("expected") > 0)
         .withColumn("term", F.pow(F.col("obs") - F.col("expected"), 2) / F.col("expected"))
@@ -237,6 +285,7 @@ class DriftCheck(Check):
         num_col: str | None = None,
         alpha: float = 0.001,
         bins: int = 1024,
+        baseline: str = "rest",
         name: str | None = None,
     ):
         self.part_col = part_col
@@ -244,13 +293,16 @@ class DriftCheck(Check):
         self.num_col = num_col
         self.alpha = alpha
         self.bins = bins
+        self.baseline = baseline
         self.name = name or f"drift_{part_col}"
         self._verdicts: DataFrame | None = None
 
     def fit(self, df: DataFrame) -> "DriftCheck":
         vs = []
         if self.cat_col:
-            v = categorical_drift(df, self.cat_col, self.part_col, self.alpha)
+            v = categorical_drift(
+                df, self.cat_col, self.part_col, self.alpha, baseline=self.baseline
+            )
             vs.append(v.select(
                 self.part_col,
                 F.lit(f"CHI2_DRIFT_{self.cat_col.upper()}").alias("drift_label"),

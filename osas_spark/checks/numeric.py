@@ -211,6 +211,31 @@ class NumericCheck(Check):
             f"UNSEEN_KEY_FOR_{f}", f"RARE_KEY_FOR_{f}",
         ]
 
+    # ------------------------------------------------------------ warnings
+    def fit_warnings(self) -> DataFrame:
+        """(group..., n, warning) rows for degenerate training stats —
+        the reference prints 'mean and standard deviation are 0'
+        warnings at model-build time (label_generators.py:287-306);
+        here they are DATA (a joinable DataFrame for metrics/verdict
+        sinks), not stdout. Emitted warnings:
+
+          ZERO_VARIANCE   the column (or group) is constant — the sigma
+                          floor (0.01) makes every off-value an outlier
+          ZERO_MEAN_AND_STD  the reference's exact degenerate case
+        """
+        assert getattr(self, "_partials", None) is not None, "fit() first"
+        mean = F.col("sx") / F.col("n")
+        var = F.greatest(F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0))
+        group_cols = [c for c in self._partials.columns if c not in ("n", "sx", "sxx")]
+        warning = (
+            F.when((mean == 0) & (var <= 0), F.lit("ZERO_MEAN_AND_STD"))
+            .when(var <= 0, F.lit("ZERO_VARIANCE"))
+        )
+        return (
+            self._partials.select(*group_cols, "n", warning.alias("warning"))
+            .where(F.col("warning").isNotNull())
+        )
+
     # ---------------------------------------------------------- checkpoint
     def df_state(self) -> dict:
         """Persist the MERGEABLE (group, n, sx, sxx) partials — not the

@@ -70,6 +70,7 @@ class TextCheck(Check):
         stdev_borderline_threshold: float = 1.0,
         stdev_outlier_threshold: float = 2.0,
         broadcast_limit_rows: int | None = None,
+        literal_vocab_max: int = 65_536,
         name: str | None = None,
     ):
         assert mode in ("word", "char")
@@ -80,8 +81,10 @@ class TextCheck(Check):
         self.min_vocab = min_vocab_count
         self.sb, self.so = stdev_borderline_threshold, stdev_outlier_threshold
         self.broadcast_limit_rows = broadcast_limit_rows
+        self.literal_vocab_max = literal_vocab_max
         self.name = name or f"text_{field_name}"
         self._vocab: DataFrame | None = None
+        self._vocab_list: list[str] | None = None  # literal fast path
         self._model: DataFrame | None = None   # (ngram, order, cnt, total)
         self._px_stats: tuple[float, float] | None = None
         self._bcast_vocab: bool | None = None  # memoized size-gate verdicts
@@ -89,10 +92,27 @@ class TextCheck(Check):
 
     # ------------------------------------------------------------ internals
     def _vocab_mapped(self, df: DataFrame) -> DataFrame:
-        """(id..., toks) with OOV tokens replaced by <UNK> via an
-        explode + broadcast-join + collect_list round trip — the join
-        keeps the vocabulary distributed (no driver-side set)."""
+        """(id..., toks) with OOV tokens replaced by <UNK>.
+
+        Fast path (vocab <= literal_vocab_max): the vocabulary is a
+        driver-side list compiled into an InSet predicate inside one
+        F.transform — ZERO shuffles, the token stream never leaves its
+        rows. Catalyst turns the isin into a hash-set lookup, so per-
+        token cost is O(1) with a plan ~vocab-sized.
+
+        Fallback (huge vocab): posexplode + size-gated join + ordered
+        collect_list round trip — two shuffles, but the vocabulary
+        stays distributed."""
         toks = _tokens(F.col(self.field).cast("string"), self.mode)
+        if self._vocab_list is not None:
+            if not self._vocab_list:
+                mapped = F.transform(toks, lambda t: F.lit("<UNK>"))
+            else:
+                vl = self._vocab_list
+                mapped = F.transform(
+                    toks, lambda t: F.when(t.isin(vl), t).otherwise(F.lit("<UNK>"))
+                )
+            return df.select(*self.id_cols, mapped.alias("toks"))
         base = df.select(*self.id_cols, F.posexplode(toks).alias("pos", "tok"))
         # web-corpus vocabularies are unbounded — size-gate the hint
         if self._bcast_vocab is None:
@@ -110,6 +130,16 @@ class TextCheck(Check):
             .agg(F.sort_array(F.collect_list(F.struct("pos", "tok2"))).alias("pt"))
             .withColumn("toks", F.transform("pt", lambda s: s["tok2"]))
             .drop("pt")
+        )
+
+    def _load_vocab_list(self) -> None:
+        """Materialize the literal-vocab fast path when the vocabulary
+        is small enough to live in the plan; leaves the join fallback
+        in place otherwise. broadcast_if_small persists the vocab DF so
+        the probe and the collect share one materialization."""
+        _, small = broadcast_if_small(self._vocab, self.literal_vocab_max)
+        self._vocab_list = (
+            [r["tok"] for r in self._vocab.select("tok").collect()] if small else None
         )
 
     def _all_ngrams(self, with_toks: DataFrame) -> DataFrame:
@@ -158,14 +188,25 @@ class TextCheck(Check):
             .where(F.col("c") > self.min_vocab)
             .select("tok", F.lit(1).alias("__in_vocab"))
         )
+        self._load_vocab_list()
+        # the exploded gram stream feeds BOTH the model counts and the
+        # training-perplexity pass — persist it so tokenize+map+explode
+        # runs once per fit, not twice (the px pass below rebuilds a
+        # plan-identical gram stream; Spark's cache manager matches it)
+        from pyspark import StorageLevel
+
         grams = self._all_ngrams(self._vocab_mapped(df))
-        counts = grams.groupBy("order", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
-        totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
-        self._model = counts.join(F.broadcast(totals), on="order")
-        px = self._perplexity(df)
-        row = px.agg(
-            F.avg("perplexity").alias("m"), F.stddev_pop("perplexity").alias("s")
-        ).collect()[0]
+        grams.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            counts = grams.groupBy("order", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+            totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
+            self._model = counts.join(F.broadcast(totals), on="order")
+            px = self._perplexity(df)
+            row = px.agg(
+                F.avg("perplexity").alias("m"), F.stddev_pop("perplexity").alias("s")
+            ).collect()[0]
+        finally:
+            grams.unpersist()
         std = row["s"] if row["s"] and row["s"] > 0 else 0.01
         self._px_stats = (float(row["m"]), float(std))
         return self
@@ -217,6 +258,7 @@ class TextCheck(Check):
         self._px_stats = (float(px[0]), float(px[1]))
         self._bcast_vocab = None
         self._bcast_model = None
+        self._load_vocab_list()
         return self
 
     def model_dict(self) -> dict:

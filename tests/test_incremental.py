@@ -96,3 +96,60 @@ def test_numeric_drift_psi(spark, code_files):
     drifted = max(psi, key=psi.get)
     assert drifted == "c000005"  # +50% lengths injected there
     assert psi["c000005"] > 0.1
+
+
+def test_median_baseline_survives_dominant_drifted_partition(spark):
+    """VERDICT r01 #8 / SCALE.md documented limit: under leave-one-out,
+    a DOMINANT drifted partition poisons every healthy partition's
+    rest-baseline. The median-of-partitions baseline is robust: only
+    the dominant partition is flagged."""
+    import pyspark.sql.functions as F
+    from osas_spark.checks.drift import categorical_drift
+
+    # 5 healthy partitions x ~400 rows: a/b/c ~ 50/30/20 (hash-
+    # decorrelated from the partition assignment)
+    r = F.pmod(F.xxhash64("id", F.lit("cat")), F.lit(10))
+    healthy = spark.range(2000).select(
+        F.concat(F.lit("h"), F.pmod(F.xxhash64("id", F.lit("p")), F.lit(5))
+                 .cast("string")).alias("part"),
+        F.when(r < 5, "a").when(r < 8, "b").otherwise("c").alias("cat"),
+    )
+    # 1 dominant partition x 8000 rows, drifted: a/b/c ~ 10/10/80
+    dominant = spark.range(8000).select(
+        F.lit("BIG").alias("part"),
+        F.when(r < 1, "a").when(r < 2, "b").otherwise("c").alias("cat"),
+    )
+    df = healthy.unionByName(dominant)
+
+    med = {r["part"]: r["drifted"] for r in
+           categorical_drift(df, "cat", "part", baseline="median").collect()}
+    assert med["BIG"] is True
+    assert all(med[f"h{i}"] is False for i in range(5)), med
+
+    # contrast: the default rest-baseline flags the healthy partitions
+    # too, because their baseline is dominated by BIG's drifted counts
+    rest = {r["part"]: r["drifted"] for r in
+            categorical_drift(df, "cat", "part", baseline="rest").collect()}
+    assert rest["BIG"] is True
+    assert any(rest[f"h{i}"] for i in range(5))
+
+
+def test_zero_stats_warnings_surface(spark):
+    """A5 (reference label_generators.py:287-306): constant columns emit
+    an explicit warning ROW instead of silently relying on the sigma
+    floor."""
+    import pyspark.sql.functions as F
+    from osas_spark.checks import NumericCheck
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "g_const").otherwise("g_ok").alias("g"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.0))
+        .otherwise((F.col("id") % 7).cast("double")).alias("x"),
+    )
+    chk = NumericCheck("x", group_by=["g"]).fit(df)
+    warns = {(r["g"], r["warning"]) for r in chk.fit_warnings().collect()}
+    assert warns == {("g_const", "ZERO_MEAN_AND_STD")}
+
+    flat = NumericCheck("x").fit(df.select("g", F.lit(5.0).alias("x")))
+    w = flat.fit_warnings().collect()
+    assert len(w) == 1 and w[0]["warning"] == "ZERO_VARIANCE"

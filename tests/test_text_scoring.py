@@ -24,6 +24,27 @@ def test_text_check_flags_odd_document(spark):
     assert out[0][1] == "TEXT_TEXT_PERPLEXITY_NORMAL"
 
 
+def test_text_literal_vocab_path_no_shuffle(spark):
+    """VERDICT r01 #7: with a small vocabulary the OOV->UNK map is one
+    InSet F.transform — no posexplode/join/re-agg round trip. The
+    mapped-token plan must contain no Exchange and no Generate, and
+    both paths must produce identical perplexities."""
+    rows = [(i, f"alpha beta gamma delta w{i % 4}") for i in range(30)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    lit = TextCheck("text", id_cols=["doc_id"], ngram_range=(2, 2), name="t").fit(df)
+    assert lit._vocab_list is not None
+    plan = lit._vocab_mapped(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+    joined = TextCheck("text", id_cols=["doc_id"], ngram_range=(2, 2), name="t",
+                       literal_vocab_max=0).fit(df)
+    assert joined._vocab_list is None
+    a = {r["doc_id"]: round(r["_t_perplexity"], 9) for r in lit.apply(df).collect()}
+    b = {r["doc_id"]: round(r["_t_perplexity"], 9) for r in joined.apply(df).collect()}
+    assert a == b
+
+
 def test_ngram_combination_scorer_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["a", "c"])],
