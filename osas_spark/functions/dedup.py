@@ -98,20 +98,18 @@ def lsh_buckets(
     sig = F.col(sig_col)
     rows_per_band = F.size(sig) / bands
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    # bucket id = xxhash64 left-fold over the band's minhash values —
+    # pure long arithmetic (the previous cast-to-string + concat_ws
+    # built a throwaway string per band per row)
     pairs = F.transform(
         band_ids,
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig, (b * rows_per_band + 1).cast("int"),
-                                rows_per_band.cast("int")),
-                        lambda v: v.cast("string"),
-                    ),
-                ),
-                b,
+            F.aggregate(
+                F.slice(sig, (b * rows_per_band + 1).cast("int"),
+                        rows_per_band.cast("int")),
+                b.cast("long"),
+                lambda acc, v: F.xxhash64(acc, v),
             ).alias("bucket"),
         ),
     )
@@ -145,13 +143,20 @@ def minhash_near_duplicates(
     or inspect what the cap excluded without paying for the count when
     they don't care.
     """
+    from pyspark import StorageLevel
+
+    # the signature transform (n_hashes x shingles hash rounds per doc)
+    # is by far the heaviest expression here, and the plan references it
+    # from FOUR branches (bucket sizes, bounded buckets, and both sides
+    # of the signature re-attach) — persist so it computes once
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, n_hashes, shingle_k)
-    bucketed = lsh_buckets(sigs, bands=bands).select(id_col, "minhash", "band", "bucket")
+    sigs = sigs.select(id_col, "minhash").persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed = lsh_buckets(sigs, bands=bands).select(id_col, "band", "bucket")
 
     bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
     if metrics is not None:
         metrics["dropped_buckets"] = bucket_sizes.where(F.col("bs") > max_bucket)
-    bounded = bucketed.select(id_col, "band", "bucket").join(
+    bounded = bucketed.join(
         bucket_sizes.where(F.col("bs") <= max_bucket), on=["band", "bucket"]
     )
 
@@ -223,7 +228,13 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs within `max_hamming` bits — banded by 16-bit chunks (a pair
     within distance 3 shares at least one of 4 chunks exactly)."""
-    hashed = simhash64(df.select(id_col, text_col), text_col)
+    from pyspark import StorageLevel
+
+    # the 64-slot bit-majority aggregate is the heavy expression and the
+    # plan reads it from both sides of the chunk self-join — persist
+    hashed = simhash64(df.select(id_col, text_col), text_col).select(
+        id_col, "simhash"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(*[
         F.struct(
             F.lit(i).alias("chunk"),
@@ -275,7 +286,13 @@ def ngram_jaccard_pairs(
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
-    shingled = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("gram"))
+    from pyspark import StorageLevel
+
+    # the exploded gram stream feeds two different shuffles (per-doc
+    # sizes, per-gram postings) — persist so tokenize+shingle runs once
+    shingled = df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     # posting-list pair generation: ONE shuffle on gram builds the
@@ -378,6 +395,8 @@ def embedding_near_duplicates(
     a near-dup pair straddling one hyperplane still collides (recall at
     the cost of (1 + n_planes)x bucket entries).
     """
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
@@ -388,6 +407,10 @@ def embedding_near_duplicates(
             *[sign_bucket(F.col(vec_col), n_planes, flip=p) for p in range(n_planes)],
         )
         base = base.withColumn("bucket", F.explode(probes))
+    # bucket bits cost n_planes (x n_planes more under multiprobe) dot
+    # products per row and the self-join reads the bucketed table from
+    # BOTH sides — persist after the explode so they compute once
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     a = base.select(
         "bucket", F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a"),

@@ -40,10 +40,16 @@ def broadcast_if_small(
 ) -> tuple[DataFrame, bool]:
     """Return (maybe-hinted model, was_broadcast).
 
-    Attaches ``F.broadcast`` only when the model has <= limit_rows rows,
-    probed with a short-circuiting ``limit(n+1).count()``. When the
-    model exceeds the limit the DataFrame is returned un-hinted and the
-    join planner (AQE) chooses the physical strategy.
+    Attaches ``F.broadcast`` only when the model has <= limit_rows rows.
+    When the model exceeds the limit the DataFrame is returned un-hinted
+    and the join planner (AQE) chooses the physical strategy.
+
+    The probe is a PLAIN count, not ``limit(n+1).count()``: a global
+    limit over an aggregate executes the reduce side in serial ramp
+    waves (1, 4, 16, ... partitions), which both serializes the probe
+    and — worse — serializes the cache materialization below it. The
+    full count schedules every partition at once; the aggregation work
+    dominates either way, so the short-circuit saved nothing.
 
     By default the model is persisted (MEMORY_AND_DISK) before the
     probe: the probe then materializes the model ONCE and every later
@@ -58,7 +64,7 @@ def broadcast_if_small(
         from pyspark import StorageLevel
 
         model.persist(StorageLevel.MEMORY_AND_DISK)
-    n = model.limit(limit + 1).count()
+    n = model.count()
     if n <= limit:
         return F.broadcast(model), True
     return model, False
