@@ -595,6 +595,59 @@ FROM e WHERE expected > 0 GROUP BY 1
 """
 
 
+def _drift_chi2_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median-of-partitions chi-square drift (round-2 variant):
+    expected proportions are the per-category MEDIAN of the OTHER
+    partitions' proportions (renormalized) — immune to one dominant
+    drifted partition poisoning the leave-one-out baseline."""
+    from osas_spark.checks.drift import categorical_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wk",
+        F.concat(F.lit("w"), F.floor((F.dayofmonth("ts") - 1) / 7).cast("string")),
+    )
+    d = categorical_drift(ev, "event_type", "wk", baseline="median")
+    return d.select("wk", F.round("chi2", 4).alias("chi2"),
+                    F.col("dof").cast("long").alias("dof"))
+
+
+_DRIFT_CHI2_MEDIAN_SQL = """
+WITH raw AS (
+  SELECT 'w' || CAST(CAST(floor((date_part('day', ts) - 1) / 7) AS INT) AS VARCHAR) AS wk,
+         event_type, count(*)::DOUBLE AS obs
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.wk, c.event_type, COALESCE(r.obs, 0) AS obs
+  FROM (SELECT DISTINCT wk FROM raw) p
+  CROSS JOIN (SELECT DISTINCT event_type FROM raw) c
+  LEFT JOIN raw r ON r.wk = p.wk AND r.event_type = c.event_type
+),
+pr AS (
+  SELECT wk, event_type, obs,
+         sum(obs) OVER (PARTITION BY wk) AS part_total,
+         CASE WHEN sum(obs) OVER (PARTITION BY wk) > 0
+              THEN obs / (sum(obs) OVER (PARTITION BY wk)) ELSE 0 END AS prop
+  FROM grid
+),
+med AS (
+  SELECT a.wk, a.event_type, any_value(a.obs) AS obs,
+         any_value(a.part_total) AS part_total,
+         median(b.prop) AS med_prop
+  FROM pr a JOIN pr b ON a.event_type = b.event_type AND a.wk <> b.wk
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT wk, obs,
+         med_prop / (sum(med_prop) OVER (PARTITION BY wk)) * part_total AS expected
+  FROM med
+)
+SELECT wk, round(sum(pow(obs - expected, 2) / expected), 4) AS chi2,
+       CAST(count(*) - 1 AS BIGINT) AS dof
+FROM ex WHERE expected > 0 GROUP BY 1
+"""
+
+
 def _drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS (partition vs rest) over binned ECDFs."""
     from osas_spark.checks.drift import numeric_drift_ks
@@ -1398,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_violations": _unique_violations,
         "referential_orphans": _referential_orphans,
         "drift_chi2": _drift_chi2,
+        "drift_chi2_median": _drift_chi2_median,
         "drift_ks": _drift_ks,
         "drift_psi": _drift_psi,
         "fingerprint_sha256": _fingerprint_sha256,
@@ -1441,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_violations": _UNIQUE_VIOLATIONS_SQL,
         "referential_orphans": _REFERENTIAL_ORPHANS_SQL,
         "drift_chi2": _DRIFT_CHI2_SQL,
+        "drift_chi2_median": _DRIFT_CHI2_MEDIAN_SQL,
         "drift_ks": _DRIFT_KS_SQL,
         "drift_psi": _DRIFT_PSI_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
