@@ -965,6 +965,42 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse k-means quantizer + probe-n cells +
+    exact rerank). Output is per-query recall@10 against the
+    oracle-green brute force, like ann_lsh — rows-only (the quantizer
+    has no SQL analogue) but with the approximation quality measured
+    in-query."""
+    from osas_spark.functions.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") <= 2)
+    k = 10
+    # 500-vector fixture: 16 cells x probe-8 scans ~50% of the corpus —
+    # the cell:probe ratio, not these absolutes, is the scale knob
+    ivf = cosine_topk_ivf(emb, q, k=k, n_cells=16, n_probe=8)
+    bf = cosine_topk_bruteforce(emb, q, k=k).select("query_id", "neighbor_id")
+    returned = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("returned"))
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(bf, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        returned.join(hits, on="query_id", how="left")
+        .fillna(0, subset=["hits"])
+        .select(
+            "query_id", "returned", "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 2).alias("recall"),
+        )
+    )
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
@@ -1462,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "text_quality": _text_quality,
         "text_perplexity": _text_perplexity,
         "label_combo_nll": _label_combo_nll,

@@ -55,6 +55,122 @@ def cosine_topk_bruteforce(
     )
 
 
+def _nearest_cell(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """Index of the max-cosine centroid (ties -> lowest index), as one
+    JVM expression: array_max over (similarity, -index) structs."""
+    best = F.array_max(F.array(*[
+        F.struct(
+            (_dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+             / F.lit(_l2(c))).alias("s"),
+            F.lit(-i).alias("negi"),
+        )
+        for i, c in enumerate(centroids)
+    ]))
+    return (-best["negi"]).cast("int")
+
+
+def _l2(c: list[float]) -> float:
+    return sum(x * x for x in c) ** 0.5 or 1.0
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 64,
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic seed centroids (the n_cells
+    corpus vectors with the smallest xxhash64(id) — no RNG, stable
+    across runs/partitionings), refined by `lloyd_iters` k-means steps
+    (per-cell vector mean via one groupBy over zip-summed arrays).
+
+    Returns (corpus + 'cell' column, centroids). Centroids live on the
+    driver — O(n_cells x dim), the same bounded-grid exception as the
+    drift statistics; raw rows never collect.
+    """
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in seeds]
+    for _ in range(max(lloyd_iters, 0)):
+        assigned = corpus.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+        dim = len(centroids[0])
+        sums = assigned.groupBy("cell").agg(
+            *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+              for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        by_cell = {r["cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in sums}
+        # a cell that captured no vectors keeps its seed centroid
+        centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
+    assigned = corpus.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    lloyd_iters: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: corpus is Voronoi-partitioned into
+    n_cells around k-means centroids; each query probes its n_probe
+    nearest cells and reranks the candidates with exact cosine.
+
+    Scale shape: the corpus shuffles ONCE on the cell id (in a real
+    deployment the inverted file would be bucketed/partitioned by cell
+    at write time and the probe join is shuffle-free); per query the
+    scan is ~n_probe/n_cells of the corpus instead of all of it.
+    """
+    from pyspark import StorageLevel
+
+    assigned, centroids = ivf_cells(corpus, id_col, vec_col, n_cells, lloyd_iters)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+    ).withColumn("c_nrm", _norm(F.col("c_vec"))).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per query: top n_probe cells by centroid cosine, exploded
+    sims = F.array(*[
+        F.struct(
+            (_dot(F.col("q_vec"), F.array(*[F.lit(float(x)) for x in cc]))
+             / F.lit(_l2(cc))).alias("s"),
+            F.lit(i).alias("cell"),
+        )
+        for i, cc in enumerate(centroids)
+    ])
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(sims)), 1, n_probe), lambda s: s["cell"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cell", F.explode(probe_cells)).withColumn(
+        "q_nrm", _norm(F.col("q_vec"))
+    )
+    joined = c.join(F.broadcast(q), on="cell")
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))
+    scored = joined.withColumn("cosine", cos)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

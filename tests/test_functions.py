@@ -148,6 +148,26 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall {recall:.2f} below hard bound 0.5"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF coarse-quantizer ANN: deterministic seeds + one Lloyd step,
+    probe-n cells, exact rerank — hard recall bound vs brute force."""
+    from osas_spark.functions.similarity import cosine_topk_ivf
+
+    emb = _planted_embeddings(spark, n_base=300, n_planted=0)
+    q = emb.where(F.col("vec_id") < 10)
+    k = 10
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_bruteforce(emb, q, k=k).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in cosine_topk_ivf(emb, q, k=k, n_cells=16, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below hard bound 0.7"
+    # determinism: same inputs -> identical result set
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_ivf(emb, q, k=k, n_cells=16, n_probe=6).collect()}
+    assert approx == again
+
+
 def test_minhash_dropped_bucket_metrics(spark):
     """max_bucket truncation is surfaced, not silent (VERDICT r01 #3):
     a planted boilerplate cluster larger than max_bucket lands in
