@@ -813,9 +813,11 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture PLUS 10 planted near-duplicates (vec * 1.001, id + 10^6) —
     the raw fixture's max pairwise cosine is 0.513, so without planting
     the operator's output is vacuously empty. The oracle is the exact
-    all-pairs cosine filter: LSH with probe_bits=1 must find exactly
-    the planted pairs (scaled copies share every sign bit, and the
-    in-bucket cosine is exact)."""
+    all-pairs cosine filter: LSH must find exactly the planted pairs —
+    a PURE-scale copy (v * 1.001) preserves every hyperplane dot's sign
+    exactly, so the pair always shares its base bucket and probe_bits=0
+    suffices (multiprobe is for perturbed near-dups; its recall is
+    covered by the planted-perturbation pytest)."""
     from osas_spark.functions.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -826,8 +828,11 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
     )
     allv = emb.unionByName(planted)
+    # max_bucket high enough to keep every natural cluster of this
+    # fixture (buckets here ARE the label clusters); the default 1024
+    # cap is the 100TB quadratic guard, not a correctness knob
     return embedding_near_duplicates(
-        allv, "vec_id", "embedding", threshold=0.9, n_planes=8, probe_bits=1
+        allv, "vec_id", "embedding", threshold=0.9, n_planes=8, max_bucket=100_000
     ).select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 
 

@@ -35,6 +35,7 @@ HEADLINE = [
     "ngram_jaccard",       # exact n-gram Jaccard via inverted index
     "text_perplexity",     # n-gram LM fit + perplexity bands (literal-vocab OOV map)
     "ann_topk",            # brute-force cosine top-k
+    "dedup_embedding",     # sign-LSH near-dup with probe_bits multiprobe
     "tpch_q1",             # aggregation engine headline
     "sessionize",          # window/sessionization
 ]

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from osas_spark.functions.dedup import _dot, _norm, sign_bucket
+from osas_spark.functions.dedup import _dot, _norm, flipped_buckets, sign_bucket
 
 
 def cosine_topk_bruteforce(
@@ -196,12 +196,15 @@ def cosine_topk_lsh(
     ).withColumn("bucket", sign_bucket(F.col("c_vec"), n_planes)).withColumn(
         "c_nrm", _norm(F.col("c_vec"))
     )
-    probes = [sign_bucket(F.col("q_vec"), n_planes)] + [
-        sign_bucket(F.col("q_vec"), n_planes, flip=f) for f in range(multiprobe)
-    ]
+    base_bucket = sign_bucket(F.col("q_vec"), n_planes)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("bucket", F.explode(F.array(*probes)))
+        .withColumn("__b0", base_bucket)
+        .withColumn("bucket", F.explode(F.array(
+            F.col("__b0"),
+            *flipped_buckets(F.col("__b0"), list(range(multiprobe))),
+        )))
+        .drop("__b0")
         .dropDuplicates(["query_id", "bucket"])
         .withColumn("q_nrm", _norm(F.col("q_vec")))
     )
