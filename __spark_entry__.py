@@ -935,6 +935,29 @@ FROM s QUALIFY rnk <= 10
 """
 
 
+def _recall_vs_bruteforce(ann: DataFrame, bf: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """(query_id, returned, hits, recall) per query — anchored on the
+    QUERY SET, so a query with zero ANN candidates shows recall 0.0
+    instead of silently vanishing from the evidence table."""
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    returned = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("returned"))
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(bf.select("query_id", "neighbor_id"), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        qs.join(returned, on="query_id", how="left")
+        .join(hits, on="query_id", how="left")
+        .fillna(0, subset=["returned", "hits"])
+        .select(
+            "query_id", "returned", "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 2).alias("recall"),
+        )
+    )
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the scale path). Output is the per-query
     RECALL@10 against the exact brute-force baseline (ann_topk, which
@@ -952,22 +975,8 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") <= 2)
     k = 10
     lsh = cosine_topk_lsh(emb, q, k=k, n_planes=8, multiprobe=2)
-    bf = cosine_topk_bruteforce(emb, q, k=k).select("query_id", "neighbor_id")
-    returned = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("returned"))
-    hits = (
-        lsh.select("query_id", "neighbor_id")
-        .join(bf, on=["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        returned.join(hits, on="query_id", how="left")
-        .fillna(0, subset=["hits"])
-        .select(
-            "query_id", "returned", "hits",
-            F.round(F.col("hits") / F.lit(float(k)), 2).alias("recall"),
-        )
-    )
+    bf = cosine_topk_bruteforce(emb, q, k=k)
+    return _recall_vs_bruteforce(lsh, bf, q, k)
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,22 +997,8 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 500-vector fixture: 16 cells x probe-8 scans ~50% of the corpus —
     # the cell:probe ratio, not these absolutes, is the scale knob
     ivf = cosine_topk_ivf(emb, q, k=k, n_cells=16, n_probe=8)
-    bf = cosine_topk_bruteforce(emb, q, k=k).select("query_id", "neighbor_id")
-    returned = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("returned"))
-    hits = (
-        ivf.select("query_id", "neighbor_id")
-        .join(bf, on=["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        returned.join(hits, on="query_id", how="left")
-        .fillna(0, subset=["hits"])
-        .select(
-            "query_id", "returned", "hits",
-            F.round(F.col("hits") / F.lit(float(k)), 2).alias("recall"),
-        )
-    )
+    bf = cosine_topk_bruteforce(emb, q, k=k)
+    return _recall_vs_bruteforce(ivf, bf, q, k)
 
 
 # =====================================================================

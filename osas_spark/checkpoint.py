@@ -97,8 +97,16 @@ def load_suite(
                 for key in entry["dfs"]
             }
             c.restore_state(dfs, entry.get("small") or {})
-        else:
+        elif "model" in entry:
             c.load_model(entry["model"])
+        else:
+            raise ValueError(
+                f"unrecognized checkpoint entry for '{c.name}' "
+                f"(keys={sorted(entry)}): this loader reads 'dfs' (parquet "
+                f"df-state) or 'model' (config dict) entries — the "
+                f"checkpoint was likely written by an older format; re-fit "
+                f"and re-save"
+            )
     suite.fitted = True
     return suite
 

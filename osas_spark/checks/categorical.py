@@ -115,12 +115,17 @@ class CategoricalCheck(Check):
             # window partition
             total = counts.agg(F.sum("cnt").alias("total"))
             counts = counts.crossJoin(F.broadcast(total))
+        old = self._freq  # persisted by the previous probe, if any
         self._freq = counts.withColumn("prob", F.col("cnt") / F.col("total"))
         self._bcast_buckets = None
         # probe (and persist) the model NOW: fit() runs inside the
         # suite's thread pool, so per-check probe jobs overlap instead
         # of serializing through transform()
         _, self._bcast = broadcast_if_small(self._freq, self.broadcast_limit_rows)
+        if old is not None:
+            # an incremental-fit loop would otherwise strand one stale
+            # cached model copy per batch in the block store
+            old.unpersist()
         return self
 
     def frequency_table(self) -> DataFrame:

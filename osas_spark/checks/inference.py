@@ -127,6 +127,7 @@ class GroupedTrainingSlot:
         self.train_fn = train_fn
         self.model_schema = model_schema
         self._params: DataFrame | None = None
+        self._params_hinted: DataFrame | None = None  # memoized size-gate
 
     def fit(self, df: DataFrame) -> DataFrame:
         """One shuffle on the group key; each group trains on one
@@ -135,6 +136,7 @@ class GroupedTrainingSlot:
         self._params = df.groupBy(*self.group_cols).applyInPandas(
             self.train_fn, schema=self.model_schema
         )
+        self._params_hinted = None  # model changed — re-probe on next score
         return self._params
 
     def params(self) -> DataFrame:
@@ -153,6 +155,7 @@ class GroupedTrainingSlot:
         Python."""
         from osas_spark.joins import broadcast_if_small
 
-        params, _ = broadcast_if_small(self.params())
-        joined = df.join(params, on=self.group_cols, how="left")
+        if self._params_hinted is None:  # probe once per fitted model
+            self._params_hinted, _ = broadcast_if_small(self.params())
+        joined = df.join(self._params_hinted, on=self.group_cols, how="left")
         return joined.withColumn(score_col, score_expr(joined))

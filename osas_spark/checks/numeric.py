@@ -84,11 +84,14 @@ class NumericCheck(Check):
 
         stats = finalize_numeric(self._partials)
         if self.group_by:
+            old = self._stats  # persisted by the previous probe, if any
             self._stats = stats
             # probe+persist now (fit runs in the suite thread pool)
             _, self._bcast = broadcast_if_small(
                 self._stats, self.broadcast_limit_rows
             )
+            if old is not None:
+                old.unpersist()  # no stale cache copy per incremental batch
         else:
             row = stats.collect()[0]
             self._global = (float(row["n"]), float(row["mean"]), float(row["std"]))
@@ -226,7 +229,10 @@ class NumericCheck(Check):
         assert getattr(self, "_partials", None) is not None, "fit() first"
         mean = F.col("sx") / F.col("n")
         var = F.greatest(F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0))
-        group_cols = [c for c in self._partials.columns if c not in ("n", "sx", "sxx")]
+        # drop the synthetic '__g' placeholder a global-mode fit uses,
+        # so warning frames union cleanly across grouped/global checks
+        group_cols = [c for c in self._partials.columns
+                      if c not in ("n", "sx", "sxx") and not c.startswith("__")]
         warning = (
             F.when((mean == 0) & (var <= 0), F.lit("ZERO_MEAN_AND_STD"))
             .when(var <= 0, F.lit("ZERO_VARIANCE"))

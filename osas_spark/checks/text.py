@@ -178,6 +178,10 @@ class TextCheck(Check):
 
     # ------------------------------------------------------------------ fit
     def fit(self, df: DataFrame) -> "TextCheck":
+        # a re-fit must not strand the previous run's persisted tables
+        for old in (self._vocab, self._model):
+            if old is not None:
+                old.unpersist()
         self._bcast_vocab = None  # model changes — re-probe on next use
         self._bcast_model = None
         toks = _tokens(F.col(self.field).cast("string"), self.mode)

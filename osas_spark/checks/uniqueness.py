@@ -51,6 +51,7 @@ class UniquenessCheck(Check):
             .groupBy(*self.keys, "__salt")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
+        old = self._dups  # persisted by the previous probe, if any
         self._dups = (
             stage1.groupBy(*self.keys)
             .agg(F.sum("__c").alias("dup_count"))
@@ -59,6 +60,8 @@ class UniquenessCheck(Check):
         # probe+persist now (fit runs in the suite thread pool); the
         # apply()-join then reads the cached dup set
         _, self._bcast = broadcast_if_small(self._dups, self.broadcast_limit_rows)
+        if old is not None:
+            old.unpersist()  # re-fit must not strand the previous dup set
         return self
 
     def duplicates(self) -> DataFrame:

@@ -416,24 +416,28 @@ def embedding_near_duplicates(
     """
     from pyspark import StorageLevel
 
+    # bucket bits cost n_planes dot products per row and feed several
+    # plan branches (native sizes, pair entries, vector re-attach) —
+    # persist once; the multiprobe explode is a cheap XOR view on top
     base = df.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    ).withColumn("nrm", _norm(F.col(vec_col)))
+    ).withColumn("nrm", _norm(F.col(vec_col))).persist(StorageLevel.MEMORY_AND_DISK)
+    # the cap measures NATIVE bucket membership, computed BEFORE the
+    # multiprobe explode — otherwise probe visitors inflate every
+    # bucket ~(n_planes+1)x and multiprobe (meant to raise recall)
+    # would silently drop natively-small clusters
+    bucket_sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
+    if metrics is not None:
+        metrics["dropped_buckets"] = bucket_sizes.where(F.col("bs") > max_bucket)
+    entries = base.select(id_col, "bucket")
     if probe_bits >= 1:
         probes = F.array(
             F.col("bucket"),
             *flipped_buckets(F.col("bucket"), list(range(n_planes))),
         )
-        base = base.withColumn("bucket", F.explode(probes))
-    # bucket bits cost n_planes dot products per row and feed several
-    # plan branches — persist after the (cheap XOR) explode
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-
-    bucket_sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
-    if metrics is not None:
-        metrics["dropped_buckets"] = bucket_sizes.where(F.col("bs") > max_bucket)
-    bounded = base.select(id_col, "bucket").join(
+        entries = base.select(id_col, F.explode(probes).alias("bucket"))
+    bounded = entries.join(
         bucket_sizes.where(F.col("bs") <= max_bucket), on="bucket"
     )
     a = bounded.select("bucket", F.col(id_col).alias("id_a"))
@@ -444,7 +448,7 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    vec_tbl = base.select(F.col(id_col), F.col(vec_col), F.col("nrm")).dropDuplicates([id_col])
+    vec_tbl = base.select(F.col(id_col), F.col(vec_col), F.col("nrm"))
     pairs = pairs.join(
         vec_tbl.withColumnsRenamed({id_col: "id_a", vec_col: "v_a", "nrm": "n_a"}),
         on="id_a",

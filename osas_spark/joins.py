@@ -9,15 +9,14 @@ because its models are in-memory Python dicts that already fit or die
 (reference src/osas/core/label_generators.py:705-741); a Spark-first
 engine must degrade to a shuffle join instead.
 
-``broadcast_if_small`` probes the model's row count with a
-``limit(n+1).count()`` — the global limit short-circuits, so the probe
-never scans more than ``limit+1`` rows of the aggregated model — and
-only attaches the broadcast hint when the model is provably below the
-limit. Above it, the join is left un-hinted: AQE picks sort-merge /
-shuffled-hash, and may still convert to broadcast at runtime if the
-actual build side is small. The verdict decision is memoized per fitted
-model by the caller (checks cache the hinted DataFrame), so the probe
-runs once per fit, not once per apply.
+``broadcast_if_small`` persists the model and probes its row count with
+a plain, fully-parallel ``count()`` (see the function docstring for why
+a limit+count "short-circuit" is a trap), and only attaches the
+broadcast hint when the model is provably below the limit. Above it,
+the join is left un-hinted: AQE picks sort-merge / shuffled-hash, and
+may still convert to broadcast at runtime if the actual build side is
+small. The verdict is memoized per fitted model by the caller (checks
+probe at fit time), so the probe runs once per fit, not once per apply.
 
 The default row limit is sized for narrow key tables: 4M rows of
 (a few string keys + 3 doubles) is ~100-300 MB serialized — at the
