@@ -96,14 +96,23 @@ class CategoricalCheck(Check):
                     f"restore via checkpoint.load_suite (df_state) or refit"
                 )
             return self.fit(df)
+        from pyspark import StorageLevel
+
         w = F.col(self.count_column).cast("double") if self.count_column else F.lit(1.0)
         new = self._with_keys(df).groupBy(*self._key_cols()).agg(F.sum(w).alias("cnt"))
+        old_counts = self._counts
+        # persist the merged partials: without this each merge unions
+        # against the previous merge's UN-cached plan and the lineage
+        # (and recompute cost) grows linearly with batch count
         self._counts = (
-            self._counts.unionByName(new)
+            old_counts.unionByName(new)
             .groupBy(*self._key_cols())
             .agg(F.sum("cnt").alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        return self._finalize(self._counts)
+        out = self._finalize(self._counts)
+        old_counts.unpersist()  # no-op unless a previous merge persisted it
+        return out
 
     def _finalize(self, counts: DataFrame) -> "CategoricalCheck":
         gkeys = [f"__k_{c}" for c in self.group_by]

@@ -122,8 +122,16 @@ class NumericCheck(Check):
                     f"restore via checkpoint.load_suite (df_state) or refit"
                 )
             return self.fit(df)
-        self._partials = merge_numeric_partials(self._partials, self._partial(df))
+        from pyspark import StorageLevel
+
+        old = self._partials
+        # persist the merged partials so per-batch lineage stays O(1)
+        # (see CategoricalCheck.fit_incremental)
+        self._partials = merge_numeric_partials(old, self._partial(df)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         self._finalize()
+        old.unpersist()  # no-op unless a previous merge persisted it
         return self
 
     # -------------------------------------------------------------- labeling
