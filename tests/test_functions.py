@@ -245,3 +245,26 @@ def test_lang_id(spark):
     assert out[1] == "en"
     assert out[5] == "de"
     assert out[4] in ("und", "en")  # no strong stopword signal
+
+
+def test_commit_partitioned_scan_prunes(spark, code_files, tmp_path):
+    """The north rule's commit-partitioned table layout: a commit
+    predicate must reach the scan as a PartitionFilter (only matching
+    directories are read) and column pruning must reach ReadSchema —
+    the difference between scanning one snapshot and scanning 10^12
+    files."""
+    from osas_spark.sources import read_table, write_table
+
+    path = str(tmp_path / "bycommit")
+    write_table(code_files, path, partition_by=["commit"])
+    got = read_table(spark, path)
+    q = got.where(F.col("commit") == "c000002").select("repo", "path")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "c000002" in plan
+    # projection pruning: content/lang are not decoded
+    import re
+    rs = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "content" not in rs and "repo" in rs
+    # and the filtered read matches the unpartitioned truth
+    expect = code_files.where(F.col("commit") == "c000002").count()
+    assert q.count() == expect > 0
