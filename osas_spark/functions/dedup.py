@@ -93,11 +93,22 @@ def lsh_buckets(
     bands: int = 8,
     band_col: str = "band",
     bucket_col: str = "bucket",
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Explode each signature into `bands` (band, bucket-hash) rows.
 
-    Docs sharing any band bucket are near-dup candidates.
+    Docs sharing any band bucket are near-dup candidates. Pass
+    `n_hashes` (the signature length) to validate divisibility up
+    front: when n_hashes % bands != 0 the integer rows-per-band slice
+    would silently ignore the trailing signature values — a quiet
+    recall loss, so it is rejected instead.
     """
+    if n_hashes is not None and n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} is not divisible by bands={bands}: the "
+            f"trailing {n_hashes % bands} signature value(s) would be "
+            "silently ignored — pick bands that divide the signature length"
+        )
     sig = F.col(sig_col)
     rows_per_band = F.size(sig) / bands
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -154,7 +165,9 @@ def minhash_near_duplicates(
     # of the signature re-attach) — persist so it computes once
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, n_hashes, shingle_k)
     sigs = sigs.select(id_col, "minhash").persist(StorageLevel.MEMORY_AND_DISK)
-    bucketed = lsh_buckets(sigs, bands=bands).select(id_col, "band", "bucket")
+    bucketed = lsh_buckets(sigs, bands=bands, n_hashes=n_hashes).select(
+        id_col, "band", "bucket"
+    )
 
     bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
     if metrics is not None:
@@ -193,18 +206,67 @@ def minhash_near_duplicates(
 
 # ------------------------------------------------------------- simhash
 
-def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully JVM-side.
-
-    bit-majority: acc[b] += (hash(token)>>b & 1) ? 1 : -1, then
-    simhash = sum over b of (acc[b] > 0) << b. Implemented with
-    aggregate + zip_with over a 64-slot accumulator array.
-    """
+def _token_hashes(text_col: str) -> F.Column:
+    """array<long> of xxhash64 over whitespace tokens (JVM-side)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # one aggregate pass over the token hashes; the 64-slot accumulator
-    # is rebuilt per step with python-side bit positions (shiftright
-    # requires a literal int shift amount)
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+_simhash_udf = None
+
+
+def _get_simhash_kernel():
+    """Lazily-built Arrow bit-majority kernel (pandas_udf registration
+    needs an active SparkSession). Given each row's token-hash array,
+    computes the 64-bit SimHash: bit b is set iff
+    sum over tokens of ((hash>>b & 1) ? +1 : -1) > 0.
+
+    This replaces an interpreted JVM formulation that rebuilt a
+    64-element accumulator array (64 element_at + when terms) per token
+    inside F.aggregate — the exact per-element-lambda cost measured ~7x
+    elsewhere (see _get_pair_cosine); on 100 TB token streams that
+    interpreted loop dominates the whole dedup. numpy does the same
+    majority as one (tokens x 64) matrix reduction per row. The JVM
+    expression survives as _simhash64_jvm_expr for the parity test.
+    """
+    global _simhash_udf
+    if _simhash_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        bitpos = np.arange(64, dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), bitpos)
+
+        @pandas_udf("long")
+        def simhash_kernel(hashes: pd.Series) -> pd.Series:
+            out: list[int | None] = []
+            for hs in hashes:
+                if hs is None:
+                    out.append(None)
+                    continue
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = (h[:, None] >> bitpos) & np.uint64(1)  # (T, 64)
+                maj = (2 * bits.astype(np.int64) - 1).sum(axis=0) > 0
+                packed = (weights * maj.astype(np.uint64)).sum(dtype=np.uint64)
+                out.append(int(np.int64(packed)))
+            return pd.Series(out, dtype="object")
+
+        _simhash_udf = simhash_kernel
+    return _simhash_udf
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: JVM tokenize+hash, then a
+    vectorized Arrow bit-majority kernel (see _get_simhash_kernel)."""
+    return df.withColumn(
+        out_col, _get_simhash_kernel()(_token_hashes(text_col))
+    )
+
+
+def _simhash64_jvm_expr(text_col: str) -> F.Column:
+    """Pure-JVM SimHash (interpreted 64-slot aggregate) — retained ONLY
+    as the independent oracle for the Arrow kernel's parity test; the
+    per-token 64-term array rebuild makes it the slow path at scale."""
+    hashes = _token_hashes(text_col)
     acc = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
@@ -223,7 +285,7 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
             .otherwise(F.lit(0).cast("long"))
         )
         sim = term if sim is None else sim + term
-    return df.withColumn(out_col, sim)
+    return sim
 
 
 def simhash_near_duplicates(

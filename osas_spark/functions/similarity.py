@@ -15,10 +15,14 @@ per row.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from osas_spark.functions.dedup import _dot, _norm, flipped_buckets, sign_bucket
+from osas_spark.joins import broadcast_if_small
 
 
 def cosine_topk_bruteforce(
@@ -55,22 +59,62 @@ def cosine_topk_bruteforce(
     )
 
 
-def _nearest_cell(vec: F.Column, centroids: list[list[float]]) -> F.Column:
-    """Index of the max-cosine centroid (ties -> lowest index), as one
-    JVM expression: array_max over (similarity, -index) structs."""
-    best = F.array_max(F.array(*[
-        F.struct(
-            (_dot(vec, F.array(*[F.lit(float(x)) for x in c]))
-             / F.lit(_l2(c))).alias("s"),
-            F.lit(-i).alias("negi"),
-        )
-        for i, c in enumerate(centroids)
-    ]))
-    return (-best["negi"]).cast("int")
+def _centroid_matrix(centroids: list[list[float]]) -> np.ndarray:
+    """(n_cells, dim) matrix of cosine-normalized centroids; a zero
+    centroid keeps norm 1.0 so it never wins an argmax by div-by-zero."""
+    C = np.asarray(centroids, dtype=np.float64)
+    nrm = np.linalg.norm(C, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    return C / nrm[:, None]
 
 
-def _l2(c: list[float]) -> float:
-    return sum(x * x for x in c) ** 0.5 or 1.0
+def _nearest_cell_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid kernel: one (batch x dim) @
+    (dim x n_cells) matmul + argmax per Arrow batch (ties -> lowest
+    index, numpy argmax semantics).
+
+    This replaces the former plan-literal formulation that embedded
+    every centroid component as an F.lit — O(n_cells x dim) expression
+    nodes, which at realistic ANN configs (4k-65k cells x 768-1536
+    dims) meant millions of plan nodes and killed Catalyst analysis
+    before any data moved. The centroid matrix now ships once per
+    executor inside the serialized UDF (O(n_cells x dim) DATA, not
+    plan), and the plan stays O(1) regardless of cells x dims.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _centroid_matrix(centroids)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(vecs.to_numpy())
+        sims = V @ Cn.T  # |v| is constant per row -> argmax over dots
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return nearest
+
+
+def _probe_cells_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched top-n_probe-cells kernel (descending centroid
+    cosine, ties -> lowest index via stable sort). Same bounded-plan
+    rationale as _nearest_cell_udf."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _centroid_matrix(centroids)
+    p = min(n_probe, Cn.shape[0])
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(vecs.to_numpy())
+        sims = V @ Cn.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype("int32")
+        return pd.Series(list(order))
+
+    return probes
 
 
 def ivf_cells(
@@ -82,12 +126,16 @@ def ivf_cells(
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: deterministic seed centroids (the n_cells
     corpus vectors with the smallest xxhash64(id) — no RNG, stable
-    across runs/partitionings), refined by `lloyd_iters` k-means steps
-    (per-cell vector mean via one groupBy over zip-summed arrays).
+    across runs/partitionings), refined by `lloyd_iters` k-means steps.
 
-    Returns (corpus + 'cell' column, centroids). Centroids live on the
-    driver — O(n_cells x dim), the same bounded-grid exception as the
-    drift statistics; raw rows never collect.
+    Each Lloyd step is one narrow shuffle: posexplode the vector to
+    (cell, dim_idx, component) and groupBy(cell, dim_idx) — the shuffle
+    rows are 3 scalars wide and the result grid is O(n_cells x dim),
+    the same bounded-grid driver collect as the drift statistics; raw
+    rows never collect. (The former shape aggregated `dim` separate
+    F.sum columns — O(dim) expression nodes per step.)
+
+    Returns (corpus + 'cell' column, centroids).
     """
     seeds = (
         corpus.select(id_col, vec_col)
@@ -96,19 +144,35 @@ def ivf_cells(
         .limit(n_cells)
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "ivf_cells: corpus is empty — no seed vectors to build the "
+            "coarse quantizer from; check the input DataFrame"
+        )
     centroids = [list(r[vec_col]) for r in seeds]
     for _ in range(max(lloyd_iters, 0)):
-        assigned = corpus.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
-        dim = len(centroids[0])
-        sums = assigned.groupBy("cell").agg(
-            *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
-              for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        ).collect()
-        by_cell = {r["cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in sums}
+        assigned = corpus.withColumn(
+            "cell", _nearest_cell_udf(centroids)(F.col(vec_col))
+        )
+        grid = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in grid:
+            sums.setdefault(r["cell"], {})[r["i"]] = r["s"]
+            counts[r["cell"]] = r["n"]
         # a cell that captured no vectors keeps its seed centroid
-        centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
-    assigned = corpus.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+        centroids = [
+            [sums[i][d] / counts[i] for d in range(len(c))] if i in sums else c
+            for i, c in enumerate(centroids)
+        ]
+    assigned = corpus.withColumn(
+        "cell", _nearest_cell_udf(centroids)(F.col(vec_col))
+    )
     return assigned, centroids
 
 
@@ -139,24 +203,17 @@ def cosine_topk_ivf(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     ).withColumn("c_nrm", _norm(F.col("c_vec"))).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # per query: top n_probe cells by centroid cosine, exploded
-    sims = F.array(*[
-        F.struct(
-            (_dot(F.col("q_vec"), F.array(*[F.lit(float(x)) for x in cc]))
-             / F.lit(_l2(cc))).alias("s"),
-            F.lit(i).alias("cell"),
-        )
-        for i, cc in enumerate(centroids)
-    ])
-    probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort(sims)), 1, n_probe), lambda s: s["cell"]
-    )
+    # per query: top n_probe cells by centroid cosine (Arrow kernel,
+    # bounded plan), exploded to one row per probed cell
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("cell", F.explode(probe_cells)).withColumn(
-        "q_nrm", _norm(F.col("q_vec"))
-    )
-    joined = c.join(F.broadcast(q), on="cell")
+    ).withColumn(
+        "cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col("q_vec")))
+    ).withColumn("q_nrm", _norm(F.col("q_vec")))
+    # size-gated: batch-ANN can push |Q| x n_probe past broadcast range,
+    # in which case the join degrades to a shuffle on the cell id
+    q, _ = broadcast_if_small(q)
+    joined = c.join(q, on="cell")
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))

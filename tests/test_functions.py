@@ -1,6 +1,7 @@
 """Unit tests for dedup / similarity / text-analysis operators."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from osas_spark.functions.dedup import (
     exact_duplicates, minhash_near_duplicates, ngram_jaccard_pairs,
@@ -268,3 +269,62 @@ def test_commit_partitioned_scan_prunes(spark, code_files, tmp_path):
     # and the filtered read matches the unpartitioned truth
     expect = code_files.where(F.col("commit") == "c000002").count()
     assert q.count() == expect > 0
+
+
+def test_ivf_bounded_plan_at_realistic_dims(spark):
+    """Regression guard for the plan-literal-centroid scale killer: at
+    n_cells=512 x dim=256 the former formulation embedded 512*256 =
+    131k F.lit nodes into the plan (Catalyst analysis died at realistic
+    ANN configs). The Arrow-kernel formulation must (a) keep the
+    analyzed plan O(1) in cells x dims and (b) actually run."""
+    from osas_spark.functions.similarity import cosine_topk_ivf, ivf_cells
+
+    dim, n = 256, 1024
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: ((F.col("vec_id") * 31 + i * 7) % 97).cast("double") / 97.0 - 0.5,
+    )
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"), comp.alias("embedding")
+    )
+    assigned, centroids = ivf_cells(emb, "vec_id", "embedding",
+                                    n_cells=512, lloyd_iters=1)
+    assert len(centroids) == 512 and len(centroids[0]) == dim
+    plan = assigned._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 50_000, (
+        f"IVF assignment plan is {len(plan)} chars — centroids are "
+        "leaking into the plan again"
+    )
+    # end-to-end: cells cover the corpus and a probe query completes
+    q = emb.where(F.col("vec_id") < 2)
+    top = cosine_topk_ivf(emb, q, k=5, n_cells=512, n_probe=4)
+    rows = top.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_simhash_arrow_kernel_matches_jvm_expr(spark):
+    """Determinism digest for the Arrow bit-majority kernel: identical
+    to the retained pure-JVM interpreted aggregate on every fixture doc
+    (the kernel replaced that aggregate for speed, not semantics)."""
+    from osas_spark.functions.dedup import _simhash64_jvm_expr, simhash64
+
+    docs = _docs(spark)
+    got = simhash64(docs, "text").withColumn(
+        "jvm", _simhash64_jvm_expr("text")
+    )
+    rows = got.select("doc_id", "simhash", "jvm").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["simhash"] == r["jvm"], f"doc {r['doc_id']}: kernel != JVM"
+
+
+def test_lsh_buckets_rejects_indivisible_bands(spark):
+    """n_hashes % bands != 0 must fail loudly: an int rows-per-band
+    slice would silently drop trailing signature values (recall loss)."""
+    from osas_spark.functions.dedup import minhash_near_duplicates
+
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_near_duplicates(
+            _docs(spark), "doc_id", "text", n_hashes=30, bands=8
+        )
