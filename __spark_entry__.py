@@ -938,9 +938,15 @@ FROM s QUALIFY rnk <= 10
 def _recall_vs_bruteforce(ann: DataFrame, bf: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """(query_id, returned, hits, recall) per query — anchored on the
     QUERY SET, so a query with zero ANN candidates shows recall 0.0
-    instead of silently vanishing from the evidence table."""
+    instead of silently vanishing from the evidence table. The recall
+    denominator is the ACTUAL brute-force neighbor count per query (a
+    corpus smaller than k+1, or exclude_self trimming, yields fewer
+    than k oracle rows — dividing by k there understates recall and
+    caps it below 1.0); zero oracle rows pin the denominator to 1 so
+    recall reads 0.0 rather than dividing by zero."""
     qs = queries.select(F.col("vec_id").alias("query_id"))
     returned = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("returned"))
+    denom = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("bf_n"))
     hits = (
         ann.select("query_id", "neighbor_id")
         .join(bf.select("query_id", "neighbor_id"), on=["query_id", "neighbor_id"])
@@ -950,10 +956,13 @@ def _recall_vs_bruteforce(ann: DataFrame, bf: DataFrame, queries: DataFrame, k: 
     return (
         qs.join(returned, on="query_id", how="left")
         .join(hits, on="query_id", how="left")
-        .fillna(0, subset=["returned", "hits"])
+        .join(denom, on="query_id", how="left")
+        .fillna(0, subset=["returned", "hits", "bf_n"])
         .select(
             "query_id", "returned", "hits",
-            F.round(F.col("hits") / F.lit(float(k)), 2).alias("recall"),
+            F.round(
+                F.col("hits") / F.greatest(F.col("bf_n"), F.lit(1)).cast("double"), 2
+            ).alias("recall"),
         )
     )
 

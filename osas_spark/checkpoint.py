@@ -57,6 +57,11 @@ def save_suite(suite: ValidationSuite, path: str, metrics: dict | None = None) -
             entry["data_dependent"] = True
         else:
             dfs = c.df_state()
+            # the undeclared-state scan runs for EVERY check (not just
+            # df-less ones): a check declaring partial state while
+            # holding another fitted DataFrame would otherwise write an
+            # incomplete checkpoint silently
+            _assert_no_undeclared_df_state(c, declared=dfs)
             if dfs:
                 entry["dfs"] = sorted(dfs)
                 entry["small"] = c.small_state()
@@ -65,7 +70,6 @@ def save_suite(suite: ValidationSuite, path: str, metrics: dict | None = None) -
                         os.path.join(path, "models", c.name, key)
                     )
             else:
-                _assert_no_undeclared_df_state(c)
                 entry["model"] = c.model_dict()
         manifest["checks"][c.name] = entry
     with open(os.path.join(path, "manifest.json"), "w") as fh:
@@ -98,6 +102,19 @@ def load_suite(
             }
             c.restore_state(dfs, entry.get("small") or {})
         elif "model" in entry:
+            legacy = {"freq", "grouped", "stats"} & set(
+                entry["model"] if isinstance(entry["model"], dict) else ()
+            )
+            if legacy:
+                # pre-df-state checkpoints inlined fitted tables into
+                # entry['model']; loading one would silently yield an
+                # unfitted check that fails opaquely at apply() time
+                raise ValueError(
+                    f"checkpoint entry for '{c.name}' carries legacy fitted "
+                    f"payload keys {sorted(legacy)} inside 'model' — this "
+                    f"pre-df-state format is no longer loadable; re-fit and "
+                    f"re-save the suite"
+                )
             c.load_model(entry["model"])
         else:
             raise ValueError(
@@ -111,18 +128,30 @@ def load_suite(
     return suite
 
 
-def _assert_no_undeclared_df_state(check) -> None:
-    """A check that stores DataFrames but declares no df_state() would
-    checkpoint as config-only and silently lose its fitted model — the
-    failure mode is a restore that crashes (or worse, mislabels) later.
-    Refuse to write the incomplete checkpoint instead."""
-    hidden = [k for k, v in vars(check).items() if isinstance(v, DataFrame)]
+def _assert_no_undeclared_df_state(check, declared: dict | None = None) -> None:
+    """A check that stores DataFrames it neither declares via df_state()
+    nor marks re-derivable would checkpoint incompletely and silently
+    lose part of its fitted model — the failure mode is a restore that
+    crashes (or worse, mislabels) later. Refuse to write instead.
+
+    Exclusions: the DataFrames declared in `declared` (compared by
+    object identity) and attributes named in the check class's
+    `_rederivable_dfs` tuple — tables restore_state() provably rebuilds
+    from the declared partials (e.g. NumericCheck._stats from
+    _partials, CategoricalCheck._freq/_buckets from _counts)."""
+    declared_ids = {id(v) for v in (declared or {}).values()}
+    allow = set(getattr(check, "_rederivable_dfs", ()))
+    hidden = [
+        k for k, v in vars(check).items()
+        if isinstance(v, DataFrame) and id(v) not in declared_ids and k not in allow
+    ]
     if hidden:
         raise ValueError(
             f"{type(check).__name__} '{check.name}' holds DataFrame state "
-            f"{hidden} but df_state() declared nothing — refusing to write "
-            f"an incomplete checkpoint; declare the state in df_state()/"
-            f"restore_state()"
+            f"{hidden} not declared in df_state() and not listed in "
+            f"_rederivable_dfs — refusing to write an incomplete "
+            f"checkpoint; declare the state in df_state()/restore_state() "
+            f"or mark it re-derivable"
         )
 
 

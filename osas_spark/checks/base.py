@@ -32,6 +32,11 @@ class Check(ABC):
 
     name: str
 
+    # attribute names holding DataFrames that restore_state() provably
+    # re-derives from the declared df_state() — exempt from the
+    # checkpoint writer's undeclared-DataFrame-state scan
+    _rederivable_dfs: tuple[str, ...] = ()
+
     @property
     def label_col(self) -> str:
         return f"_{self.name}_labels"

@@ -33,6 +33,10 @@ from osas_spark.joins import broadcast_if_small
 
 
 class CategoricalCheck(Check):
+    # probability table + bucket marker re-derive from the declared
+    # _counts partials on restore (_finalize)
+    _rederivable_dfs = ("_freq", "_buckets")
+
     def __init__(
         self,
         field_names: list[str] | str,
@@ -54,6 +58,7 @@ class CategoricalCheck(Check):
         self._freq: DataFrame | None = None
         self._bcast: bool | None = None          # memoized size-gate verdicts
         self._bcast_buckets: bool | None = None
+        self._buckets: DataFrame | None = None   # memoized (maybe-persisted) bucket table
 
     def _suffix(self) -> str:
         fname = "_".join(self.fields).upper()
@@ -125,8 +130,10 @@ class CategoricalCheck(Check):
             total = counts.agg(F.sum("cnt").alias("total"))
             counts = counts.crossJoin(F.broadcast(total))
         old = self._freq  # persisted by the previous probe, if any
+        old_buckets = self._buckets
         self._freq = counts.withColumn("prob", F.col("cnt") / F.col("total"))
         self._bcast_buckets = None
+        self._buckets = None
         # probe (and persist) the model NOW: fit() runs inside the
         # suite's thread pool, so per-check probe jobs overlap instead
         # of serializing through transform()
@@ -135,6 +142,10 @@ class CategoricalCheck(Check):
             # an incremental-fit loop would otherwise strand one stale
             # cached model copy per batch in the block store
             old.unpersist()
+        if old_buckets is not None:
+            # the apply-time bucket probe persists too — a re-fit must
+            # not strand the previous bucket table in the block store
+            old_buckets.unpersist()
         return self
 
     def frequency_table(self) -> DataFrame:
@@ -173,17 +184,20 @@ class CategoricalCheck(Check):
             # both surface as null cnt; distinguish via a semi-join marker
             # against the distinct trained buckets (tiny, broadcast).
             gkeys = [f"__k_{c}" for c in self.group_by]
-            buckets = self._freq.select(*gkeys).distinct().withColumn(
-                "__bucket_seen", F.lit(1)
-            )
             # group-key cardinality <= model cardinality, but can still
-            # exceed the limit on its own — probe separately (memoized)
-            if self._bcast_buckets is None:
-                buckets, self._bcast_buckets = broadcast_if_small(
-                    buckets, self.broadcast_limit_rows
+            # exceed the limit on its own — probe separately; the probed
+            # (persisted) bucket DataFrame is memoized so repeat applies
+            # reuse one cache entry and fit() can release it
+            if self._buckets is None:
+                self._buckets = self._freq.select(*gkeys).distinct().withColumn(
+                    "__bucket_seen", F.lit(1)
                 )
-            elif self._bcast_buckets:
-                buckets = F.broadcast(buckets)
+                _, self._bcast_buckets = broadcast_if_small(
+                    self._buckets, self.broadcast_limit_rows
+                )
+            buckets = (
+                F.broadcast(self._buckets) if self._bcast_buckets else self._buckets
+            )
             joined = joined.join(buckets, on=gkeys, how="left")
             labels = F.when(F.col("__bucket_seen").isNull(),
                             F.array().cast("array<string>")).otherwise(labels)

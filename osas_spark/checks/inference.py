@@ -133,10 +133,13 @@ class GroupedTrainingSlot:
         """One shuffle on the group key; each group trains on one
         executor as a single Arrow-backed pandas frame. Returns (and
         retains) the params DataFrame."""
+        old = self._params  # persisted by the previous score's probe, if any
         self._params = df.groupBy(*self.group_cols).applyInPandas(
             self.train_fn, schema=self.model_schema
         )
         self._params_hinted = None  # model changed — re-probe on next score
+        if old is not None:
+            old.unpersist()  # a re-fit must not strand the previous params cache
         return self._params
 
     def params(self) -> DataFrame:

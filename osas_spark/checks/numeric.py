@@ -35,6 +35,9 @@ RARE_GROUP_COUNT = 5  # reference label_generators.py:472
 
 
 class NumericCheck(Check):
+    # finalized stats re-derive from the declared _partials on restore
+    _rederivable_dfs = ("_stats",)
+
     def __init__(
         self,
         field_name: str,

@@ -28,6 +28,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from osas_spark.joins import broadcast_if_small
+
 UNSEEN_PENALTY = 1e-8  # reference anomaly.py:348
 
 
@@ -103,14 +105,17 @@ class SVDReconstructionScorer:
     """
 
     def __init__(self, labels_col: str = "labels", k: int = 4,
-                 score_col: str = "score", max_distinct_sets: int = 200_000):
+                 score_col: str = "score", max_distinct_sets: int = 200_000,
+                 broadcast_limit_rows: int | None = None):
         self.labels_col = labels_col
         self.k = k
         self.score_col = score_col
         self.max_distinct = max_distinct_sets
+        self.broadcast_limit_rows = broadcast_limit_rows
         self._vocab: list[str] | None = None
         self._vt = None          # (k, |vocab|) numpy
         self._scores: DataFrame | None = None
+        self._bcast: bool | None = None  # memoized size-gate verdict
 
     def _key(self) -> F.Column:
         return F.concat_ws("|", F.array_sort(F.array_distinct(F.col(self.labels_col))))
@@ -123,6 +128,11 @@ class SVDReconstructionScorer:
             .groupBy("lkey").agg(F.count(F.lit(1)).alias("cnt"))
         )
         rows = sets.collect()
+        # canonical row order: collect() order varies with partitioning;
+        # A^T A (hence the SVD subspace) is row-order invariant, but
+        # float summation order is not — sorting makes scores
+        # bit-deterministic across runs (golden-file testability)
+        rows.sort(key=lambda r: r["lkey"])
         assert len(rows) <= self.max_distinct, (
             f"{len(rows)} distinct label sets exceed max_distinct_sets; "
             "raise the cap or reduce label cardinality"
@@ -149,16 +159,25 @@ class SVDReconstructionScorer:
             [(r["lkey"], float(e)) for r, e in zip(rows, err)],
             schema=f"lkey string, {self.score_col} double",
         )
+        self._bcast = None  # model changed — re-probe on next score
         return self
 
     def score(self, df: DataFrame) -> DataFrame:
-        """Adds the reconstruction-error score via broadcast join on the
-        label-set key; sets unseen at fit time score the max fitted
-        error + 1 (conservative: definitely anomalous)."""
+        """Adds the reconstruction-error score via a SIZE-GATED
+        broadcast join on the label-set key (the score table is bounded
+        by max_distinct_sets, but the gate keeps the hint honest like
+        every other model join); sets unseen at fit time score the max
+        fitted error + 1 (conservative: definitely anomalous)."""
         mx = self._scores.agg(F.max(self.score_col)).collect()[0][0] or 0.0
+        if self._bcast is None:  # probe once per fitted model
+            _, self._bcast = broadcast_if_small(
+                self._scores, self.broadcast_limit_rows
+            )
+        model = self._scores.withColumnRenamed("lkey", "__lkey")
+        if self._bcast:
+            model = F.broadcast(model)
         joined = df.withColumn("__lkey", self._key()).join(
-            F.broadcast(self._scores.withColumnRenamed("lkey", "__lkey")),
-            on="__lkey", how="left",
+            model, on="__lkey", how="left",
         )
         return joined.withColumn(
             self.score_col, F.coalesce(F.col(self.score_col), F.lit(mx + 1.0))
@@ -174,12 +193,15 @@ class NGramCombinationScorer:
         id_cols: list[str] | None = None,
         max_order: int = 3,
         score_col: str = "score",
+        broadcast_limit_rows: int | None = None,
     ):
         self.labels_col = labels_col
         self.id_cols = id_cols
         self.max_order = max_order
         self.score_col = score_col
+        self.broadcast_limit_rows = broadcast_limit_rows
         self._model: DataFrame | None = None  # (combo, order, cnt, total, nll)
+        self._bcast: bool | None = None       # memoized size-gate verdict
 
     def fit(self, df: DataFrame) -> "NGramCombinationScorer":
         combos = df.select(
@@ -192,9 +214,11 @@ class NGramCombinationScorer:
             F.count(F.lit(1)).alias("cnt")
         )
         totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
+        # totals is <= max_order rows by construction — hint directly
         self._model = counts.join(F.broadcast(totals), on="order").withColumn(
             "nll", -F.log(F.col("cnt") / F.col("total"))
         )
+        self._bcast = None  # model changed — re-probe on next score
         return self
 
     def combo_table(self) -> DataFrame:
@@ -208,9 +232,17 @@ class NGramCombinationScorer:
         exploded = df.select(
             *ids, F.explode(_combos(F.col(self.labels_col), self.max_order)).alias("combo")
         )
-        joined = exploded.join(
-            F.broadcast(self._model.select("combo", "nll")), on="combo", how="left"
-        )
+        # size-gated: a suite with many checks x groups can push the
+        # label-combo table into the millions of rows — degrade to a
+        # shuffle join instead of force-broadcasting it
+        if self._bcast is None:  # probe once per fitted model
+            _, self._bcast = broadcast_if_small(
+                self._model, self.broadcast_limit_rows
+            )
+        nll_tbl = self._model.select("combo", "nll")
+        if self._bcast:
+            nll_tbl = F.broadcast(nll_tbl)
+        joined = exploded.join(nll_tbl, on="combo", how="left")
         per_row = joined.groupBy(*ids).agg(
             F.sum(
                 F.coalesce(F.col("nll"), F.lit(-math.log(UNSEEN_PENALTY)))

@@ -102,3 +102,53 @@ def test_referential_large_dim_no_forced_broadcast(spark, no_auto_broadcast):
     assert "BroadcastHashJoin" not in plan
     # orphans path shares the memoized verdict
     assert "BroadcastHashJoin" not in _physical_plan(chk.orphans(df))
+
+
+def test_stats_fast_path_hints_small_dim(spark):
+    """Default gating takes the Catalyst plan-stats fast path for a
+    provably-tiny model: hinted True without running a count probe.
+    (An explicit limit_rows bypasses the fast path — exercised by every
+    forced-shuffle test above.)"""
+    from osas_spark.joins import plan_size_bytes
+
+    dim = spark.range(50).select(F.col("id").alias("k")).distinct()
+    est = plan_size_bytes(dim)
+    assert est is not None and est > 0
+    hinted, small = broadcast_if_small(dim)
+    assert small
+
+
+def test_ngram_scorer_large_model_no_forced_broadcast(spark, no_auto_broadcast):
+    """The NLL combo model join must degrade to a shuffle join when the
+    combo table exceeds the broadcast limit — and scores must match the
+    broadcast path exactly."""
+    from osas_spark.scoring import NGramCombinationScorer
+
+    df = _pairs_df(spark).select(
+        "rid", F.array(F.col("u"), F.col("p")).alias("labels")
+    )
+    big = NGramCombinationScorer(id_cols=["rid"], broadcast_limit_rows=10).fit(df)
+    plan = _physical_plan(big.score(df))
+    # the fit-time totals join (<= max_order rows by construction) may
+    # broadcast; the combo->nll MODEL join must be a shuffle join
+    assert "BroadcastHashJoin [combo" not in plan
+    assert "SortMergeJoin [combo" in plan or "ShuffledHashJoin [combo" in plan
+    small = NGramCombinationScorer(id_cols=["rid"]).fit(df)
+    a = {r["rid"]: round(r["score"], 9) for r in big.score(df).collect()}
+    b = {r["rid"]: round(r["score"], 9) for r in small.score(df).collect()}
+    assert a == b
+
+
+def test_svd_scorer_large_model_no_forced_broadcast(spark, no_auto_broadcast):
+    from osas_spark.scoring import SVDReconstructionScorer
+
+    df = _pairs_df(spark).select(
+        "rid", F.array(F.col("u"), F.col("p")).alias("labels")
+    )
+    big = SVDReconstructionScorer(k=2, broadcast_limit_rows=5).fit(df)
+    plan = _physical_plan(big.score(df))
+    assert "BroadcastHashJoin" not in plan
+    small = SVDReconstructionScorer(k=2).fit(df)
+    a = {r["rid"]: round(r["score"], 9) for r in big.score(df).collect()}
+    b = {r["rid"]: round(r["score"], 9) for r in small.score(df).collect()}
+    assert a == b

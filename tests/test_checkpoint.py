@@ -154,3 +154,43 @@ def test_config_builds_suite(spark, code_files):
     out = suite.transform(df)
     assert out.where(F.array_contains("labels", "PYTHON_FILE")).count() > 0
     assert suite.verdicts(out).count() > 0
+
+
+def test_undeclared_df_state_caught_even_with_declared_state(spark, tmp_path):
+    """The undeclared-DataFrame scan must run for checks that DO
+    declare df_state: a stray fitted DataFrame outside the declaration
+    (and not marked _rederivable_dfs) refuses to checkpoint."""
+    import pytest
+    from osas_spark.checks import CategoricalCheck
+    from osas_spark.checkpoint import save_suite
+    from osas_spark.verdict import ValidationSuite
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], schema="v string")
+    c = CategoricalCheck("v", name="cat_v").fit(df)
+    c._stray_model = df  # undeclared DataFrame state
+    suite = ValidationSuite([c])
+    suite.fitted = True
+    with pytest.raises(ValueError, match="_stray_model"):
+        save_suite(suite, str(tmp_path / "ckpt"))
+
+
+def test_legacy_model_payload_rejected_with_refit_error(spark, tmp_path):
+    """A pre-df-state checkpoint that inlined fitted tables into
+    entry['model'] must raise the re-fit-and-re-save error, not load an
+    unfitted check that fails opaquely at apply() time."""
+    import json
+    import pytest
+    from osas_spark.checks import CategoricalCheck
+    from osas_spark.checkpoint import load_suite
+    from osas_spark.verdict import ValidationSuite
+
+    path = tmp_path / "legacy"
+    path.mkdir()
+    manifest = {"checks": {"cat_v": {
+        "class": "CategoricalCheck",
+        "model": {"fields": ["v"], "freq": {"a": 2, "b": 1}},
+    }}, "metrics": {}}
+    (path / "manifest.json").write_text(json.dumps(manifest))
+    suite = ValidationSuite([CategoricalCheck("v", name="cat_v")])
+    with pytest.raises(ValueError, match="re-fit and re-save"):
+        load_suite(suite, str(path), spark)
