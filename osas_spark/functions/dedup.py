@@ -77,11 +77,18 @@ def minhash_signatures(
     shingles = _char_shingles(F.col(text_col), shingle_k)
     base = F.transform(shingles, lambda s: F.xxhash64(s))
 
+    # NOTE: the seed closure MUST be a single-argument callable.
+    # PySpark's transform() inspects the Python callable's arity, and
+    # the `lambda h, i=i:` capture idiom reads as TWO parameters — the
+    # "seed" silently binds to the ARRAY-POSITION lambda variable
+    # instead of the captured int, collapsing all permutations into one
+    # (caught by the exact-Jaccard ground-truth test).
+    def _rehash(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
     with_base = df.withColumn("__mh_base", base)
     sig = F.array(*[
-        F.array_min(
-            F.transform(F.col("__mh_base"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
-        )
+        F.array_min(F.transform(F.col("__mh_base"), _rehash(i)))
         for i in range(n_hashes)
     ])
     return with_base.withColumn(sig_col, sig).drop("__mh_base")
@@ -425,17 +432,31 @@ def _plane_component(p: int, i: F.Column) -> F.Column:
     return h.cast("double") / F.lit(float(2 ** 31)) - F.lit(1.0)
 
 
-def sign_bucket(vec: F.Column, n_planes: int) -> F.Column:
+def sign_bucket(vec: F.Column, n_planes: int, plane_offset: int = 0) -> F.Column:
     """Sign-LSH bucket id over deterministic hyperplanes.
     Cosine-preserving: the probability two vectors share all sign bits
     rises with their cosine, so near-duplicates collide.
 
+    `plane_offset` selects an independent plane set (offset..offset+
+    n_planes-1) — multi-table LSH hashes with several disjoint sets and
+    unions the candidates, the standard recall lever when one table's
+    all-bits-agree event is too rare for far-ish neighbors.
+
     Multiprobe neighbors do NOT re-evaluate this expression — flipping
     plane p's sign bit is ``bucket ^ 2**p`` (see flipped_buckets)."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    # single-argument closure, NOT `lambda i, p=p:` — transform() reads
+    # a two-parameter callable as (element, index) and the plane id
+    # would silently bind to the array-position variable, collapsing
+    # every plane to the same bit (2 effective buckets total; caught by
+    # the ground-truth recall tests)
+    def _plane_fn(p: int):
+        return lambda i: _plane_component(p, i)
+
     total = None
     for p in range(n_planes):
-        comps = F.transform(idx, lambda i, p=p: _plane_component(p, i))
+        comps = F.transform(idx, _plane_fn(p + plane_offset))
         bit = F.when(_dot(vec, comps) >= 0, F.lit(1)).otherwise(F.lit(0))
         term = bit * F.lit(2 ** p)
         total = term if total is None else total + term

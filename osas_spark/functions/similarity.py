@@ -236,36 +236,69 @@ def cosine_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     multiprobe: int = 2,
+    n_tables: int = 1,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: equi-join corpus and queries on sign-LSH
     buckets (+ `multiprobe` single-bit-flipped probe buckets per query
-    for recall), then exact cosine within the candidate set.
+    per table for recall), then exact cosine within the candidate set.
+
+    `n_tables` independent hash tables (disjoint deterministic plane
+    sets) union their candidates — the standard OR-construction: a
+    neighbor whose per-plane agreement probability is p collides with
+    probability 1-(1-p^b)^L instead of p^b, which is what rescues
+    moderate-cosine neighbors a single table almost never buckets with
+    the query. Cost is explicit and linear: the corpus emits one row
+    per table (L x shuffle volume) and each query probes
+    L x (1+multiprobe) buckets — the classic LSH recall/cost dial.
 
     At scale this replaces the full cross product with a join whose
-    right side is |Q| * (1+multiprobe) rows — the corpus side is
-    shuffled once on the bucket key (or the query side broadcast).
-    Bucket ids come from the shared deterministic sign_bucket expression
-    (dedup.py) — no driver-side dimension probe.
+    right side is |Q| x L x (1+multiprobe) rows — the corpus side is
+    shuffled once on the (table, bucket) key (or the query side
+    broadcast). Bucket ids come from the shared deterministic
+    sign_bucket expression (dedup.py) — no driver-side dimension probe.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("bucket", sign_bucket(F.col("c_vec"), n_planes)).withColumn(
-        "c_nrm", _norm(F.col("c_vec"))
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            sign_bucket(F.col("c_vec"), n_planes, t * n_planes).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("__tb", F.explode(tables))
+        .select(
+            "neighbor_id", "c_vec",
+            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"),
+        )
+        .withColumn("c_nrm", _norm(F.col("c_vec")))
     )
-    base_bucket = sign_bucket(F.col("q_vec"), n_planes)
+    q_tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            sign_bucket(F.col("q_vec"), n_planes, t * n_planes).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("__b0", base_bucket)
+        .withColumn("__tb", F.explode(q_tables))
+        .select(
+            "query_id", "q_vec",
+            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("__b0"),
+        )
         .withColumn("bucket", F.explode(F.array(
             F.col("__b0"),
             *flipped_buckets(F.col("__b0"), list(range(multiprobe))),
         )))
         .drop("__b0")
-        .dropDuplicates(["query_id", "bucket"])
+        .dropDuplicates(["query_id", "tbl", "bucket"])
         .withColumn("q_nrm", _norm(F.col("q_vec")))
     )
-    joined = c.join(F.broadcast(q), on="bucket")
+    joined = c.join(F.broadcast(q), on=["tbl", "bucket"])
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))

@@ -137,16 +137,19 @@ def test_embedding_near_dup_planted_recall(spark):
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
     """Hard recall bound for the approximate path against the exact,
-    oracle-verified brute force (VERDICT r01 #2)."""
+    oracle-verified brute force (VERDICT r01 #2). Multi-table LSH
+    (8 tables x 8 planes + 2-probe) measures 1.00 on this fixture —
+    the bound leaves headroom for fixture drift, not for regressions."""
     emb = _planted_embeddings(spark, n_base=300, n_planted=0)
     q = emb.where(F.col("vec_id") < 10)
     k = 10
     exact = {(r["query_id"], r["neighbor_id"])
              for r in cosine_topk_bruteforce(emb, q, k=k).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
-              for r in cosine_topk_lsh(emb, q, k=k, n_planes=6, multiprobe=3).collect()}
+              for r in cosine_topk_lsh(emb, q, k=k, n_planes=8, multiprobe=2,
+                                       n_tables=8).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"ANN recall {recall:.2f} below hard bound 0.5"
+    assert recall >= 0.9, f"ANN recall {recall:.2f} below hard bound 0.9"
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
@@ -328,3 +331,88 @@ def test_lsh_buckets_rejects_indivisible_bands(spark):
         minhash_near_duplicates(
             _docs(spark), "doc_id", "text", n_hashes=30, bands=8
         )
+
+
+def _dup_corpus(spark, n_base=60, n_dups=15, words_per_doc=30, seed=7):
+    """Deterministic corpus with planted near-duplicates: doc i+10_000
+    copies doc i with 2 words swapped (true char-5-shingle Jaccard
+    ~0.85-0.95). Returns (df, {doc_id: text})."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{j:03d}" for j in range(300)]
+    texts = {}
+    for i in range(n_base):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(words_per_doc))
+    for i in range(n_dups):
+        toks = texts[i].split()
+        toks[3] = "zzz"
+        toks[17] = "qqq"
+        texts[10_000 + i] = " ".join(toks)
+    df = spark.createDataFrame(
+        list(texts.items()), schema="doc_id long, text string"
+    )
+    return df, texts
+
+
+def _char5_jaccard(a: str, b: str) -> float:
+    """Independent exact oracle for what minhash estimates: Jaccard of
+    DISTINCT character 5-shingle sets (pure Python, no Spark)."""
+    sa = {a[i:i + 5] for i in range(max(len(a) - 4, 1))}
+    sb = {b[i:i + 5] for i in range(max(len(b) - 4, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_recall_precision_vs_exact_jaccard(spark):
+    """Quantitative ground truth for the no-SQL-oracle minhash query:
+    pair recall against EXACT char-5-shingle Jaccard (computed in pure
+    Python) must be >= 0.9 for true-J >= 0.7 pairs, and every reported
+    pair must be genuinely similar (true J >= 0.25 — 32-hash estimator
+    noise is ~0.09 sigma, so 0.5-est pairs sit far above this floor)."""
+    df, texts = _dup_corpus(spark)
+    truth = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = _char5_jaccard(texts[a], texts[b])
+            if j >= 0.25:
+                truth[(a, b)] = j
+    strong = {p for p, j in truth.items() if j >= 0.7}
+    assert len(strong) >= 10, "fixture must plant enough strong pairs"
+
+    found = {(r["id_a"], r["id_b"])
+             for r in minhash_near_duplicates(
+                 df, "doc_id", "text", n_hashes=32, bands=8, threshold=0.5
+             ).collect()}
+    recall = len(strong & found) / len(strong)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} on true-J>=0.7 pairs"
+    for p in found:
+        assert p in truth, f"minhash reported pair {p} with true J < 0.25"
+
+
+def test_simhash_banding_exact_within_hamming3(spark):
+    """For max_hamming=3 the 4x16-bit banding is EXHAUSTIVE (pigeonhole:
+    <=3 flipped bits leave one chunk intact), so the pipeline's pair
+    set must EQUAL exact all-pairs hamming over the simhashes — a full
+    independent oracle, not a bound."""
+    import numpy as np
+
+    df, _ = _dup_corpus(spark)
+    hs = {r["doc_id"]: r["simhash"]
+          for r in simhash64(df, "text").select("doc_id", "simhash").collect()}
+    ids = sorted(hs)
+    arr = np.array([hs[i] for i in ids], dtype=np.int64).view(np.uint64)
+    xor = arr[:, None] ^ arr[None, :]
+    # vectorized popcount via uint8 view
+    ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8),
+                        axis=2).sum(axis=2)
+    exact = {(ids[i], ids[j])
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if ham[i, j] <= 3}
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_duplicates(df, "doc_id", "text",
+                                            max_hamming=3).collect()}
+    assert got == exact, (
+        f"banded pipeline != exact hamming: missed {exact - got}, "
+        f"extra {got - exact}"
+    )
