@@ -1031,6 +1031,144 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_bruteforce(ivf, bf, q, k)
 
 
+def _resume_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end checkpoint-resume: fit the suite on batch 1 (even
+    orderkeys), save_suite (parquet partials, no pickle), restore into
+    a STRUCTURALLY-FRESH suite, fit_incremental on batch 2 (odd
+    orderkeys), then verdict the FULL table. The oracle is a
+    single-pass SQL fit over batch1+batch2 — they agree only if the
+    persisted partials restore exactly and the incremental merge is
+    the algebraically-correct Chan merge (not the reference's biased
+    variant, SURVEY §4). Violation counts are exact integers that
+    depend on the merged grouped mu/sigma, so a biased merge or lossy
+    checkpoint flips rows across the 2-sigma band and fails the hash."""
+    import tempfile
+
+    from osas_spark.checks import CategoricalCheck, NumericCheck
+    from osas_spark.checkpoint import load_suite, save_suite
+    from osas_spark.verdict import ValidationSuite
+
+    li = _t(spark, sf_dir, "lineitem")
+    b1 = li.where(F.col("l_orderkey") % 2 == 0)
+    b2 = li.where(F.col("l_orderkey") % 2 == 1)
+
+    def make() -> ValidationSuite:
+        return ValidationSuite(
+            [
+                NumericCheck("l_extendedprice", group_by=["l_linestatus"]),
+                CategoricalCheck("l_linestatus"),
+            ],
+            partition_col="l_returnflag",
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="osas_resume_ckpt_")
+    save_suite(make().fit(b1), ckpt)
+    resumed = load_suite(make(), ckpt, spark).fit_incremental(b2)
+    out = resumed.transform(li)
+    return resumed.verdicts(out).select(
+        "l_returnflag",
+        "check",
+        F.col("violation_rows").cast("long").alias("violation_rows"),
+        "verdict",
+    )
+
+
+_RESUME_EQUIVALENCE_SQL = """
+WITH gs AS (
+  SELECT l_linestatus, avg(l_extendedprice) AS mu,
+         CASE WHEN stddev_pop(l_extendedprice) = 0 THEN 0.01
+              ELSE stddev_pop(l_extendedprice) END AS sigma,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+num AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN gs.n <= 5 THEN 1
+                       WHEN abs(l_extendedprice - gs.mu) / gs.sigma >= 2.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM lineitem l JOIN gs USING (l_linestatus) GROUP BY 1
+),
+flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+cat AS (SELECT l_returnflag, CAST(0 AS BIGINT) AS v FROM flags)
+SELECT f.l_returnflag, c."check", COALESCE(x.v, 0) AS violation_rows,
+       CASE WHEN COALESCE(x.v, 0) > 0 THEN 'FAIL' ELSE 'PASS' END AS verdict
+FROM flags f
+CROSS JOIN (VALUES ('numeric_l_extendedprice'),
+                   ('categorical_l_linestatus')) AS c("check")
+LEFT JOIN (
+  SELECT l_returnflag, 'numeric_l_extendedprice' AS chk, v FROM num
+  UNION ALL SELECT l_returnflag, 'categorical_l_linestatus', v FROM cat
+) x ON x.l_returnflag = f.l_returnflag AND x.chk = c."check"
+"""
+
+
+# =====================================================================
+# multimodal
+# =====================================================================
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: deterministic greyscale PNGs are
+    encoded per doc_id (stdlib zlib writer, pixel(i) = (doc_id*31 +
+    i*7) % 251, w = 16 + doc_id%17, h = 16 + (doc_id*7)%13), carried as
+    a Spark binary column, decoded by the pure-stdlib PNG codec
+    (inflate + unfilter) inside mapInPandas, and reduced to EXACT
+    integer pixel stats. The oracle recomputes the stats from the
+    closed-form pixel formula — fully independent of the encode->decode
+    round trip, so a codec bug cannot cancel itself out. pix_sum is an
+    exact BIGINT (no float tolerance to hide behind)."""
+    import numpy as np
+    import pandas as pd
+
+    from osas_spark.functions.multimodal import decode_stats, encode_png_gray
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w = 16 + d % 17
+                h = 16 + (d * 7) % 13
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((d * 31 + i * 7) % 251).astype(np.uint8).reshape(h, w)
+                ids.append(d)
+                blobs.append(encode_png_gray(px))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, "media_id long, blob binary")
+    st = decode_stats(media)
+    return st.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "pix_sum",
+        F.round("mean_intensity", 4).alias("mean_i"),
+    )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS width,
+         16 + (doc_id * 7) % 13 AS height
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id, width, height,
+         list_sum(list_transform(range(0, width * height),
+                                 i -> (doc_id * 31 + i * 7) % 251)) AS pix_sum
+  FROM g
+)
+SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(pix_sum AS BIGINT) AS pix_sum,
+       round(CAST(pix_sum AS DOUBLE) / (width * height), 4) AS mean_i
+FROM s
+"""
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
@@ -1529,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        "resume_equivalence": _resume_equivalence,
+        "multimodal_features": _multimodal_features,
         "text_quality": _text_quality,
         "text_perplexity": _text_perplexity,
         "label_combo_nll": _label_combo_nll,
@@ -1570,6 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "resume_equivalence": _RESUME_EQUIVALENCE_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_perplexity": _TEXT_PERPLEXITY_SQL,
         "label_combo_nll": _LABEL_COMBO_NLL_SQL,

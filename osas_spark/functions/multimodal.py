@@ -4,12 +4,14 @@ Media rides through the engine as opaque `binary` columns with a typed
 metadata struct; every transform is an Arrow-batched `mapInPandas` /
 `pandas_udf` so bytes never cross the JVM<->Python boundary row by row.
 
-The actual codecs (PIL/libav/ffmpeg) are NOT available in this
-container, so the decode step is STUBBED behind `set_decoder(...)`:
-by default a clearly-marked deterministic fake decoder parses our own
-synthetic header (see `synth_media`) — the Spark-side plumbing
-(schemas, batch iteration, partition sizing, UDF signatures) is real
-and tested; swapping in a real codec is a one-function change.
+Decoding: PNG is decoded FOR REAL with a pure-stdlib codec (zlib
+inflate + scanline unfiltering, all 5 PNG filter types, 8-bit
+gray/RGB/RGBA) — no PIL/libav needed; `encode_png_gray` is the
+matching writer used to synthesize deterministic fixtures. Codecs this
+container does not ship (JPEG, audio, video containers) stay behind
+the honest `set_decoder(...)` gate: the default decoder dispatches on
+magic bytes — PNG -> real decode, SYNM -> deterministic test fake,
+anything else raises with install instructions.
 
 Scale notes: media batches are large — callers should size partitions
 by bytes (spark.sql.files.maxPartitionBytes) not rows, and mapInPandas
@@ -20,6 +22,7 @@ memory.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -28,8 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 MEDIA_META_SCHEMA = StructType([
@@ -80,24 +83,142 @@ def synth_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- PNG codec
+#
+# Pure-stdlib PNG (RFC 2083): enough of the format for real pipelines
+# that store screenshots/renders as PNG binary columns — 8-bit
+# greyscale (color type 0), RGB (2) and RGBA (6), no interlacing, all
+# five scanline filters on decode. Everything is numpy + zlib; no
+# external imaging dependency.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """8-bit greyscale PNG writer (filter 0 scanlines + zlib). The
+    fixture/synthesis side of the codec — real enough that any external
+    viewer opens it."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    assert a.ndim == 2, "encode_png_gray expects a (H, W) uint8 array"
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG decoder: returns (H, W) uint8 for greyscale, (H, W, C) for
+    RGB/RGBA. Supports bit depth 8, color types 0/2/6, interlace 0 —
+    raises NotImplementedError for the exotic rest (16-bit, palette,
+    Adam7) so unsupported inputs fail loudly, not wrongly."""
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG byte stream")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG bit-depth={depth} color-type={ctype} "
+                    f"interlace={interlace} unsupported (8-bit gray/RGB/RGBA, "
+                    "no interlace) — install a full codec via set_decoder()"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    assert len(raw) == height * (stride + 1), "corrupt PNG payload length"
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).copy()
+        if f == 0:        # None
+            pass
+        elif f == 2:      # Up (vectorized)
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = line.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = int(prev[x])
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    cur[x] = (cur[x] + _paeth(a, b, c)) & 0xFF
+            line = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter byte {f}")
+        out[y] = line
+        prev = out[y]
+    if channels == 1:
+        return out
+    return out.reshape(height, width, channels)
+
+
 # -------------------------------------------------------------- decode
 
-def _fake_decode(blob: bytes) -> np.ndarray:
-    """Parse the synthetic container -> (H, W) uint8 array. Raises on
-    anything that is not SYNM: a real deployment must install a codec
-    via set_decoder()."""
-    if blob is None or blob[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real media decoding needs an image/audio codec (PIL/libav), "
-            "which this environment does not ship — install one and call "
-            "multimodal.set_decoder(fn); the SYNM fake covers tests only"
-        )
-    _mt, w, h, _nf = struct.unpack("<BxHHHxx", blob[4:14])
-    arr = np.frombuffer(blob[22:22 + w * h], dtype=np.uint8)
-    return arr.reshape(h, w)
+def _default_decode(blob: bytes) -> np.ndarray:
+    """Magic-byte dispatch: PNG -> REAL stdlib decode; SYNM -> the
+    deterministic test container; anything else (JPEG, audio, video)
+    raises — those codecs are not in this environment, and a silent
+    wrong answer would be worse than a loud gate."""
+    if blob is None:
+        raise ValueError("null media blob")
+    b = bytes(blob)
+    if b[:8] == _PNG_MAGIC:
+        return decode_png(b)
+    if b[:4] == _MAGIC:
+        _mt, w, h, _nf = struct.unpack("<BxHHHxx", b[4:14])
+        return np.frombuffer(b[22:22 + w * h], dtype=np.uint8).reshape(h, w)
+    raise NotImplementedError(
+        "only PNG (stdlib codec) and the SYNM test container decode here; "
+        "JPEG/audio/video need an external codec (PIL/libav) — install one "
+        "and call multimodal.set_decoder(fn)"
+    )
 
 
-_DECODER: Callable[[bytes], np.ndarray] = _fake_decode
+# retained name: tests and docs refer to the SYNM fake explicitly
+_fake_decode = _default_decode
+
+_DECODER: Callable[[bytes], np.ndarray] = _default_decode
 
 
 def set_decoder(fn: Callable[[bytes], np.ndarray]) -> None:
@@ -160,6 +281,40 @@ def resize(df: DataFrame, out_w: int, out_h: int,
             yield pd.DataFrame({"media_id": ids, "pixels": pix})
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+DECODE_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pix_sum", LongType()),
+    StructField("mean_intensity", DoubleType()),
+])
+
+
+def decode_stats(df: DataFrame, id_col: str = "media_id",
+                 blob_col: str = "blob") -> DataFrame:
+    """Decode each blob (real PNG codec by default) and emit exact
+    integer pixel statistics: (media_id, width, height, pix_sum,
+    mean_intensity). pix_sum is an exact BIGINT so a decode bug cannot
+    hide behind float tolerance — the oracle query recomputes it from
+    the closed-form pixel formula of the synthetic fixture."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "pix_sum": [], "mean_intensity": []}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = _DECODER(bytes(blob))
+                h, w = arr.shape[:2]
+                s = int(arr.astype(np.int64).sum())
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pix_sum"].append(s)
+                out["mean_intensity"].append(s / arr.size)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, DECODE_STATS_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2,

@@ -44,6 +44,122 @@ def test_sample_frames_column_algebra(spark):
     assert sorted(per) == [0, 2, 4, 6]
 
 
-def test_real_decode_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        mm._fake_decode(b"\x89PNG\r\n\x1a\n garbage")
+def test_non_png_codecs_stay_gated(spark):
+    """PNG now decodes for real; JPEG (and anything else without a
+    shipped codec) must still fail loudly through the honest gate."""
+    with pytest.raises(NotImplementedError, match="set_decoder"):
+        mm._default_decode(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
+    with pytest.raises(ValueError, match="IHDR"):
+        mm._default_decode(b"\x89PNG\r\n\x1a\n garbage")
+
+
+# ------------------------------------------------------- PNG codec
+
+def test_png_roundtrip_gray():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(23, 37), dtype=np.uint8)
+    blob = mm.encode_png_gray(arr)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    back = mm.decode_png(blob)
+    assert back.shape == (23, 37)
+    assert (back == arr).all()
+
+
+def _png_with_filter(arr, f, channels=1):
+    """Hand-build a PNG whose every scanline uses filter `f` — the
+    encoder only emits filter 0, so the decoder's filter paths need
+    independently constructed streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = w * channels
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        enc = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                enc[x] = line[x]
+            elif f == 1:
+                enc[x] = line[x] - a
+            elif f == 2:
+                enc[x] = line[x] - b
+            elif f == 3:
+                enc[x] = line[x] - (a + b) // 2
+            else:
+                enc[x] = line[x] - mm._paeth(int(a), int(b), int(c))
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_png_decode_every_filter_type(f):
+    import numpy as np
+
+    rng = np.random.default_rng(100 + f)
+    arr = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    back = mm.decode_png(_png_with_filter(arr, f))
+    assert (back == arr).all(), f"filter {f} unfiltering wrong"
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_png_decode_rgb_rgba(channels):
+    import numpy as np
+
+    rng = np.random.default_rng(channels)
+    arr = rng.integers(0, 256, size=(7, 11, channels), dtype=np.uint8)
+    back = mm.decode_png(_png_with_filter(arr, 4, channels=channels))
+    assert back.shape == (7, 11, channels)
+    assert (back == arr).all()
+
+
+def test_png_unsupported_features_fail_loudly():
+    import struct
+    import zlib
+
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 36))
+            + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit-depth=16"):
+        mm.decode_png(blob)
+
+
+def test_decode_stats_over_png_column(spark):
+    """The Spark-side chain: encode PNGs into a binary column, decode
+    with the real codec via mapInPandas, check exact integer stats."""
+    import numpy as np
+
+    rows = []
+    for i in range(12):
+        arr = ((np.arange(6 * 8, dtype=np.int64) * 7 + i * 31) % 251
+               ).astype(np.uint8).reshape(6, 8)
+        rows.append((i, bytearray(mm.encode_png_gray(arr)), int(arr.sum())))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], schema="media_id long, blob binary"
+    )
+    got = {r["media_id"]: r for r in mm.decode_stats(df).collect()}
+    for i, _, expect_sum in rows:
+        assert got[i]["width"] == 8 and got[i]["height"] == 6
+        assert got[i]["pix_sum"] == expect_sum
+        assert abs(got[i]["mean_intensity"] - expect_sum / 48) < 1e-12
