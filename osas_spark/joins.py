@@ -35,12 +35,24 @@ DEFAULT_BROADCAST_ROW_LIMIT = 4_000_000
 
 # Plan-statistics fast path: when Catalyst's own size estimate for the
 # model plan is at most this many bytes, broadcast without running the
-# count probe at all. 32 MB is deliberately conservative: plan stats
-# measure compressed-on-disk bytes at the scan, and the in-memory hash
-# relation expands several-fold — 32 MB of parquet is still comfortably
-# inside broadcast range. (Spark's own autoBroadcastJoinThreshold gates
-# on exactly this statistic, at 10 MB.)
-DEFAULT_BROADCAST_STATS_BYTES = 32 * 1024 * 1024
+# count probe at all. Two considerations size the threshold:
+#   safety  — the hint must never force a huge relation; plan stats
+#             measure compressed input bytes and the hash relation
+#             expands several-fold, so anything <= a few MB is trivially
+#             inside broadcast range (Spark's own
+#             autoBroadcastJoinThreshold gates this statistic at 10 MB);
+#   warm-up — the probe count is ALSO a parallel cache materialization:
+#             for models fed by real fact-table scans the suite fits
+#             them concurrently in a thread pool; skipping the probe
+#             serializes the same compute into broadcast-build planning
+#             instead. Only models whose whole input is ~1 MB —
+#             dictionary dims, config tables — are unambiguously cheap
+#             enough that the probe job's fixed cost dominates and
+#             skipping it wins. (Warm-JVM A/B at sf0.1 shows the two
+#             thresholds within noise on the flagship suite; the 1 MB
+#             setting keeps the thread-pool materialization property
+#             without betting on it.)
+DEFAULT_BROADCAST_STATS_BYTES = 1024 * 1024
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
