@@ -887,6 +887,69 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: exact-Jaccard pair graph ->
+    connected components (large-star/small-star contraction,
+    osas_spark/functions/graph.py) -> one canonical doc per cluster.
+    The deduped corpus is `where is_canonical`; pairs alone cannot
+    express this (A~B, B~C with A!~C needs the transitive closure).
+    Oracle: DuckDB recursive CTE over the SAME pair definition — a
+    fully independent transitive closure."""
+    from osas_spark.functions.dedup import ngram_jaccard_pairs
+    from osas_spark.functions.graph import canonicalize_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=200
+    ).select("id_a", "id_b")
+    out = canonicalize_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        "doc_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
+           AS gram
+  FROM t
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 200),
+p AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM p a JOIN p b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pr AS (
+  SELECT id_a, id_b
+  FROM sh JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE shared / (sa.sz + sb.sz - shared) >= 0.05
+),
+e AS (SELECT id_a AS u, id_b AS v FROM pr
+      UNION SELECT id_b, id_a FROM pr),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY 1)
+SELECT lab.doc_id, lab.cluster_id, cs.cluster_size,
+       (lab.doc_id = lab.cluster_id) AS is_canonical
+FROM lab JOIN cs USING (cluster_id)
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -1664,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "ngram_jaccard": _ngram_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -1708,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "resume_equivalence": _RESUME_EQUIVALENCE_SQL,

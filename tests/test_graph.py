@@ -1,0 +1,146 @@
+"""Connected components + canonical dedup selection.
+
+Ground truth is an INDEPENDENT pure-Python union-find — the star
+contraction shares no code with it, so agreement on random graphs is
+real evidence, not a tautology (same policy as the exact-Jaccard
+recall harness in test_functions.py).
+"""
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _union_find(n_nodes, edges):
+    parent = {i: i for i in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = component min; path-compress to the min root
+    return {i: find(i) for i in n_nodes}
+
+
+def _cc(spark, edges):
+    from osas_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 200
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150 + trial * 100)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        expected = _union_find(nodes, edges)
+        got = _cc(spark, edges)
+        assert got == expected
+
+
+def test_cc_long_chain_converges_fast(spark):
+    # a 300-node path is the worst case for naive min-propagation
+    # (diameter rounds); star contraction must close it well inside the
+    # iteration guard — this is the scale property the algorithm buys
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 301
+
+
+def test_cc_orientation_and_duplicate_edges(spark):
+    # (a,b) and (b,a) plus repeats are one undirected edge
+    edges = [(5, 9), (9, 5), (5, 9), (1, 2)]
+    got = _cc(spark, edges)
+    assert got == {5: 5, 9: 5, 1: 1, 2: 1}
+
+
+def test_cc_empty_edges(spark):
+    got = _cc(spark, [])
+    assert got == {}
+
+
+def test_cc_self_loops_ignored(spark):
+    got = _cc(spark, [(3, 3), (3, 4)])
+    assert got == {3: 3, 4: 3}
+
+
+def test_canonicalize_min_id_and_sizes(spark):
+    from osas_spark.functions.graph import canonicalize_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = canonicalize_clusters(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["cluster_id"] == 0 and rows[2]["cluster_id"] == 0
+    assert rows[0]["cluster_size"] == 3
+    assert rows[0]["is_canonical"] and not rows[1]["is_canonical"]
+    # singletons are their own canonical cluster
+    assert rows[3]["cluster_size"] == 1 and rows[3]["is_canonical"]
+    assert rows[5]["is_canonical"] and not rows[6]["is_canonical"]
+    # exactly one representative per cluster
+    canon = out.where("is_canonical").groupBy("cluster_id").count().collect()
+    assert all(r["count"] == 1 for r in canon)
+    assert out.where("is_canonical").count() == 5  # 8 docs - 3 dropped dups
+
+
+def test_canonicalize_score_elects_best_copy(spark):
+    from osas_spark.functions.graph import canonicalize_clusters
+
+    docs = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (2, 0.9), (3, 0.5)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = canonicalize_clusters(docs, pairs, "doc_id", score_col="quality")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # highest quality wins; the 0.9 tie breaks to the smaller id
+    assert rows[1]["is_canonical"]
+    assert not rows[0]["is_canonical"] and not rows[2]["is_canonical"]
+    assert rows[3]["is_canonical"]
+
+
+def test_cc_nonconvergence_guard_raises(spark):
+    from osas_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # max_iters=0 can never observe the fixpoint probe twice
+        connected_components(df, max_iters=0)
+
+
+def test_cc_on_planted_near_dup_graph(spark, sf_dir):
+    """End-to-end: exact-Jaccard pairs on the documents fixture ->
+    components -> every pair lands in one cluster and transitivity
+    holds (if A-B and B-C are pairs, A and C share a cluster even
+    when the A-C similarity is below threshold)."""
+    from osas_spark.functions.dedup import ngram_jaccard_pairs
+    from osas_spark.functions.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=200
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    lab = {r["id"]: r["component"] for r in cc.collect()}
+    for r in pairs.collect():
+        assert lab[r["id_a"]] == lab[r["id_b"]]
+    # cluster count + membership must be reproducible run-to-run
+    cc2 = connected_components(pairs)
+    assert {(r["id"], r["component"]) for r in cc2.collect()} == set(lab.items())
