@@ -433,7 +433,11 @@ def _plane_component(p: int, i: F.Column) -> F.Column:
 
 
 def sign_bucket(vec: F.Column, n_planes: int, plane_offset: int = 0) -> F.Column:
-    """Sign-LSH bucket id over deterministic hyperplanes.
+    """Sign-LSH bucket id over deterministic hyperplanes — the
+    DEFINITIONAL pure-JVM expression, retained as the independent
+    oracle for _get_sign_buckets_kernel's parity test; production
+    paths use the Arrow kernel (interpreted per-plane F.aggregate dot
+    products are the slow path at scale).
     Cosine-preserving: the probability two vectors share all sign bits
     rises with their cosine, so near-duplicates collide.
 
@@ -461,6 +465,69 @@ def sign_bucket(vec: F.Column, n_planes: int, plane_offset: int = 0) -> F.Column
         term = bit * F.lit(2 ** p)
         total = term if total is None else total + term
     return total
+
+
+_sign_bucket_kernels: dict = {}
+
+
+def _plane_matrix(dim: int, n_planes: int, offsets: tuple[int, ...]) -> np.ndarray:
+    """(len(offsets) * n_planes, dim) matrix of the SAME deterministic
+    plane components _plane_component defines — identical int64 Knuth
+    hash, identical /2^31-1 mapping, so the two formulations are
+    bit-equal per component (verified by the parity test)."""
+    planes = np.concatenate(
+        [np.arange(o, o + n_planes, dtype=np.int64) for o in offsets]
+    )
+    i = np.arange(dim, dtype=np.int64)
+    h = ((planes[:, None] * 1_000_003 + i[None, :]) * 2654435761) % (2 ** 32)
+    return h.astype(np.float64) / float(2 ** 31) - 1.0
+
+
+def _get_sign_buckets_kernel(n_planes: int, offsets: tuple[int, ...] = (0,)):
+    """Arrow-batched sign-LSH kernel: array<long> of one bucket id per
+    plane-set offset (multi-table LSH computes ALL tables in one call).
+
+    Replaces per-row interpreted evaluation of n_planes (x n_tables)
+    F.aggregate dot products — the same per-element-lambda cost class
+    measured ~7x-15x elsewhere (_get_pair_cosine, _get_simhash_kernel);
+    one (batch x dim) @ (dim x planes) matmul + a bit-pack per batch
+    instead. The JVM expression (sign_bucket) survives as the
+    definitional oracle for the parity test. Caveat shared by every
+    float kernel swap here: numpy's pairwise summation can order the
+    dot-product adds differently from the JVM left-fold, so a dot
+    EXACTLY at the sign boundary could bucket differently — measure-
+    zero for real embeddings, and bucketing is approximate by design
+    (every pair is exact-cosine reranked downstream).
+    """
+    key = (n_planes, tuple(offsets))
+    if key not in _sign_bucket_kernels:
+        from pyspark.sql.functions import pandas_udf
+
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        mats: dict[int, np.ndarray] = {}
+
+        @pandas_udf("array<long>")
+        def sign_buckets(vecs: pd.Series) -> pd.Series:
+            out: list[list[int] | None] = []
+            arr = vecs.to_numpy()
+            mask = np.array([v is not None for v in arr])
+            if not mask.any():
+                return pd.Series([None] * len(arr), dtype="object")
+            V = np.stack(arr[mask]).astype(np.float64)
+            dim = V.shape[1]
+            if dim not in mats:
+                mats[dim] = _plane_matrix(dim, n_planes, tuple(offsets))
+            bits = (V @ mats[dim].T) >= 0  # (B, n_tables * n_planes)
+            it = iter(
+                bits.reshape(len(V), len(offsets), n_planes)
+                .astype(np.int64) @ weights
+            )
+            for ok in mask:
+                out.append([int(b) for b in next(it)] if ok else None)
+            return pd.Series(out, dtype="object")
+
+        _sign_bucket_kernels[key] = sign_buckets
+    return _sign_bucket_kernels[key]
 
 
 def flipped_buckets(bucket: F.Column, planes: list[int]) -> list[F.Column]:
@@ -504,7 +571,12 @@ def embedding_near_duplicates(
     # persist once; the multiprobe explode is a cheap XOR view on top
     base = df.select(
         F.col(id_col), F.col(vec_col),
-        sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        # Arrow kernel, single table — element 1 of the one-offset
+        # bucket array (see _get_sign_buckets_kernel for why not the
+        # interpreted per-plane dot products)
+        F.element_at(
+            _get_sign_buckets_kernel(n_planes)(F.col(vec_col)), 1
+        ).alias("bucket"),
     ).withColumn("nrm", _norm(F.col(vec_col))).persist(StorageLevel.MEMORY_AND_DISK)
     # the cap measures NATIVE bucket membership, computed BEFORE the
     # multiprobe explode — otherwise probe visitors inflate every

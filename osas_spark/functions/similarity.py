@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from osas_spark.functions.dedup import _dot, _norm, flipped_buckets, sign_bucket
+from osas_spark.functions.dedup import (
+    _dot, _norm, _get_sign_buckets_kernel, flipped_buckets,
+)
 from osas_spark.joins import broadcast_if_small
 
 
@@ -258,37 +260,30 @@ def cosine_topk_lsh(
     broadcast). Bucket ids come from the shared deterministic
     sign_bucket expression (dedup.py) — no driver-side dimension probe.
     """
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            sign_bucket(F.col("c_vec"), n_planes, t * n_planes).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ])
+    # ONE Arrow kernel call per row computes every table's bucket
+    # (a (batch x dim) @ (dim x L*n_planes) matmul); posexplode's
+    # 0-based position IS the table id. The former shape evaluated
+    # L x n_planes interpreted F.aggregate dot products per row.
+    kernel = _get_sign_buckets_kernel(
+        n_planes, tuple(t * n_planes for t in range(n_tables))
+    )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
-        .withColumn("__tb", F.explode(tables))
+        .withColumn("__bks", kernel(F.col("c_vec")))
         .select(
             "neighbor_id", "c_vec",
-            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"),
+            F.posexplode("__bks").alias("tbl", "bucket"),
         )
         .withColumn("c_nrm", _norm(F.col("c_vec")))
     )
-    q_tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            sign_bucket(F.col("q_vec"), n_planes, t * n_planes).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ])
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("__tb", F.explode(q_tables))
+        .withColumn("__bks", kernel(F.col("q_vec")))
         .select(
             "query_id", "q_vec",
-            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("__b0"),
+            F.posexplode("__bks").alias("tbl", "__b0"),
         )
         .withColumn("bucket", F.explode(F.array(
             F.col("__b0"),

@@ -322,6 +322,42 @@ def test_simhash_arrow_kernel_matches_jvm_expr(spark):
         assert r["simhash"] == r["jvm"], f"doc {r['doc_id']}: kernel != JVM"
 
 
+def test_sign_bucket_arrow_kernel_matches_jvm_expr(spark):
+    """Parity for the sign-LSH Arrow kernel against the definitional
+    pure-JVM sign_bucket expression, across two tables (offset plane
+    sets) on real fixture embeddings, plus null passthrough."""
+    import os
+
+    from osas_spark.functions.dedup import _get_sign_buckets_kernel, sign_bucket
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    n_planes = 12
+    kernel = _get_sign_buckets_kernel(n_planes, (0, n_planes))
+    got = emb.select(
+        "vec_id",
+        kernel(F.col("embedding")).alias("k"),
+        sign_bucket(F.col("embedding"), n_planes, 0).alias("j0"),
+        sign_bucket(F.col("embedding"), n_planes, n_planes).alias("j1"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["k"] == [r["j0"], r["j1"]], f"vec {r['vec_id']}: kernel != JVM"
+    # the fixture must actually exercise plane diversity (the lambda-
+    # arity regression made every plane the same bit -> 2 buckets)
+    assert len({r["j0"] for r in got}) > 10
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [1.0, -2.0, 0.5])], "id long, embedding array<double>"
+    )
+    out = {r["id"]: r["b"] for r in nulls.select(
+        "id", kernel(F.col("embedding")).alias("b")
+    ).collect()}
+    assert out[1] is None and out[2] is not None
+
+
 def test_lsh_buckets_rejects_indivisible_bands(spark):
     """n_hashes % bands != 0 must fail loudly: an int rows-per-band
     slice would silently drop trailing signature values (recall loss)."""
