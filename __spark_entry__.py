@@ -950,6 +950,65 @@ FROM lab JOIN cs USING (cluster_id)
 """
 
 
+def _sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) from ONE md5
+    draw per row — no RNG, so membership replays identically across
+    runs/retries/partitionings and the oracle reproduces it
+    bit-for-bit (osas_spark/functions/sampling.py)."""
+    from osas_spark.functions.sampling import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_column(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r3"
+    )
+    return out.select("doc_id", "split")
+
+
+def _build_sample_split_sql() -> str:
+    """Oracle thresholds come from the SAME _hex_threshold function the
+    engine uses — the hex arithmetic exists once, not twice."""
+    from osas_spark.functions.sampling import _hex_threshold
+
+    t_train, t_val = _hex_threshold(0.8), _hex_threshold(0.8 + 0.1)
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))), 1, 8) AS k8
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN k8 < '{t_train}' THEN 'train'
+            WHEN k8 < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: 5 docs per
+    (lang, source) in hash order, doc_id tiebreak — the reproducible
+    eval-set cut. One window shuffle on the strata columns."""
+    from osas_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, ["lang", "source"], k=5, key_cols=["doc_id"], salt="r3"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -1728,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "ngram_jaccard": _ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
+        "sample_split": _sample_split,
+        "sample_stratified": _sample_stratified,
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -1773,6 +1834,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "sample_split": _build_sample_split_sql(),
+        "sample_stratified": _SAMPLE_STRATIFIED_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "resume_equivalence": _RESUME_EQUIVALENCE_SQL,

@@ -1,0 +1,148 @@
+"""Deterministic sampling and corpus mixing for training-data
+pipelines — no RNG anywhere.
+
+`rand()`-based sampling is a reproducibility hazard at cluster scale:
+a retried task re-draws its randoms, a re-partitioned input re-seeds
+per partition, and two runs of "the same" eval split disagree. Every
+operator here derives its randomness from md5 over row CONTENT
+(id + salt), so membership is a pure per-row function:
+
+  - identical across runs, task retries, partitionings, cluster sizes;
+  - a plain filter/window Catalyst can push down and codegen —
+    Bernoulli sampling is ZERO-shuffle scan-side pruning;
+  - exactly reproducible by any engine with md5 (the DuckDB oracle
+    replays membership bit-for-bit — no "statistically similar"
+    hand-waving in the correctness gate).
+
+The md5 hex string itself is the sort/threshold key: fixed-width
+lowercase hex compares lexicographically == numerically, so no
+hex->int conversion (with its engine-specific overflow quirks) is
+ever needed.
+
+Reference parity: the reference has no sampling surface (it scores
+full tables); this extends the training-data-pipeline additions
+(SURVEY §2 addendum) like dedup/ANN/text-quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def sample_key(cols: list[str], salt: str = "") -> F.Column:
+    """The deterministic per-row draw: md5 over the salted key columns.
+    Changing `salt` yields an independent split from the same rows
+    (train/val/test = three salts, provably disjoint-by-construction
+    only if thresholds partition [0,1) — see split_column)."""
+    return F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in cols]))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-digit threshold t such that P(md5_prefix < t) = fraction
+    (up to 1/2^32 quantization — exact for the oracle, since both
+    sides apply the SAME threshold string)."""
+    t = int(fraction * (1 << 32))
+    return f"{min(t, (1 << 32) - 1):08x}"
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, key_cols: list[str], salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex
+    chars of its sample_key fall below the fraction threshold.
+
+    Pure filter — no shuffle, no state; Catalyst pushes it into the
+    scan alongside other predicates, so sampling 1% of 100 TB reads
+    (and keeps) columns for ~1 TB of rows with zero data movement.
+    """
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.where(F.lit(False))
+    key8 = F.substring(sample_key(key_cols, salt), 1, 8)
+    return df.where(key8 < F.lit(_hex_threshold(fraction)))
+
+
+def split_column(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test...)
+    by consecutive threshold intervals over ONE draw — splits are
+    disjoint and exhaustive by construction, unlike independent
+    per-split samples. Fractions must sum to 1 (validated)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1, got {total}: pad an "
+            f"explicit remainder split instead of implying one"
+        )
+    key8 = F.substring(sample_key(key_cols, salt), 1, 8)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = key8 < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Exactly k rows per stratum (fewer when the stratum is smaller),
+    chosen by the deterministic hash order with the key columns as the
+    final tiebreak — the canonical "n docs per (lang, source) for the
+    eval set" operator.
+
+    One shuffle on the strata columns (the row_number window); stratum
+    skew is the usual caveat — a 100 TB stratum still flows through
+    one window partition, so at extreme skew pre-filter with
+    sample_fraction to decimate before ranking (filter first, then
+    rank — both deterministic, composition stays deterministic).
+    """
+    order = [sample_key(key_cols, salt).asc()] + [F.col(c).asc() for c in key_cols]
+    w = W.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_cols: list[str],
+    salt: str = "",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Weighted corpus mixture: sample each named source at its rate
+    and union them with a provenance tag — the "30% code, 60% web,
+    10% books" dataset-mixing step, deterministic end to end.
+
+    Rates are per-source Bernoulli fractions (values > 1 are clamped
+    to keep-all; upsampling-with-replacement is a different operator
+    and intentionally NOT hidden behind a rate > 1). The union is
+    narrow: no shuffle beyond what each source's filter already is.
+    """
+    parts = []
+    for name, (df, rate) in sources.items():
+        part = sample_fraction(df, min(rate, 1.0), key_cols, salt=f"{salt}:{name}")
+        parts.append(part.withColumn(source_col, F.lit(name)))
+    if not parts:
+        raise ValueError("mix_corpora: no sources given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

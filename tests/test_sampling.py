@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting / mixing.
+
+The independent ground truth is hashlib.md5 computed in pure Python —
+membership must replay bit-for-bit, which is the whole contract
+(rand()-based sampling can't make that promise across retries or
+repartitionings).
+"""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+
+
+def _py_key8(salt, *vals):
+    return hashlib.md5("|".join([salt] + [str(v) for v in vals]).encode()).hexdigest()[:8]
+
+
+def test_bernoulli_membership_matches_python_md5(spark):
+    from osas_spark.functions.sampling import _hex_threshold, sample_fraction
+
+    df = _docs(spark)
+    got = {r["doc_id"] for r in sample_fraction(df, 0.3, ["doc_id"], salt="s").collect()}
+    thr = _hex_threshold(0.3)
+    expected = {i for i in range(2000) if _py_key8("s", i) < thr}
+    assert got == expected
+    assert 0.2 < len(got) / 2000 < 0.4  # and the rate is actually ~0.3
+
+
+def test_bernoulli_invariant_to_partitioning(spark):
+    from osas_spark.functions.sampling import sample_fraction
+
+    df = _docs(spark)
+    a = {r["doc_id"] for r in sample_fraction(df, 0.5, ["doc_id"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_fraction(df.repartition(17, "lang"), 0.5, ["doc_id"]).collect()
+    }
+    assert a == b
+
+
+def test_bernoulli_edges(spark):
+    from osas_spark.functions.sampling import sample_fraction
+
+    df = _docs(spark, 100)
+    assert sample_fraction(df, 1.0, ["doc_id"]).count() == 100
+    assert sample_fraction(df, 0.0, ["doc_id"]).count() == 0
+
+
+def test_split_disjoint_exhaustive_and_salted(spark):
+    from osas_spark.functions.sampling import split_column
+
+    df = _docs(spark)
+    out = split_column(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="a"
+    )
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, one split per row
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400  # ~0.8 of 2000
+    # a different salt is an independent split of the same rows
+    out_b = split_column(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="b"
+    )
+    joined = out.select("doc_id", "split").join(
+        out_b.select("doc_id", F.col("split").alias("split_b")), on="doc_id"
+    )
+    assert joined.where("split != split_b").count() > 0
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_column(df, ["doc_id"], {"train": 0.8, "val": 0.1})
+
+
+def test_stratified_exact_k_and_deterministic(spark):
+    from osas_spark.functions.sampling import stratified_sample
+
+    df = _docs(spark)  # 7 lang strata x ~286 rows
+    out = stratified_sample(df, ["lang"], k=9, key_cols=["doc_id"])
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sizes == {str(i): 9 for i in range(7)}
+    again = stratified_sample(df.repartition(13), ["lang"], k=9, key_cols=["doc_id"])
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    # small stratum yields all its rows, not an error
+    tiny = stratified_sample(df.where("doc_id < 3"), ["lang"], 9, ["doc_id"])
+    assert tiny.count() == 3
+
+
+def test_mix_corpora_rates_and_provenance(spark):
+    from osas_spark.functions.sampling import mix_corpora
+
+    code = _docs(spark, 1000)
+    web = _docs(spark, 1000).withColumn("doc_id", F.col("doc_id") + 10_000)
+    out = mix_corpora(
+        {"code": (code, 0.2), "web": (web, 1.5)}, key_cols=["doc_id"]
+    )
+    counts = {r["mix_source"]: r["count"] for r in out.groupBy("mix_source").count().collect()}
+    assert counts["web"] == 1000  # rate > 1 clamps to keep-all
+    assert 100 < counts["code"] < 320
+    # per-source salting: the same ids draw independently per source
+    with pytest.raises(ValueError, match="no sources"):
+        mix_corpora({}, key_cols=["doc_id"])
