@@ -1009,6 +1009,46 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget next-fit sequence packing over documents (n_chars
+    as the token proxy): deterministic hash-sharded packs, oversize
+    rows flagged and isolated (osas_spark/functions/packing.py).
+    Oracle: DuckDB recursive CTE replaying the identical next-fit
+    walk over the same bucket/hash order."""
+    from osas_spark.functions.packing import pack_by_budget
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_by_budget(
+        docs, "n_chars", budget=2000, key_cols=["doc_id"], n_buckets=8, salt="r3"
+    )
+    return out.select("doc_id", "oversize", "pack_id")
+
+
+_PACK_SEQUENCES_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))) AS k,
+         ('0x' || substr(md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))), 1, 2))::BIGINT % 8 AS bkt,
+         least(n_chars, 2000) AS t,
+         n_chars > 2000 AS oversize
+  FROM documents
+),
+o AS (SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY k, doc_id) AS rn
+      FROM s),
+walk(bkt, rn, doc_id, oversize, occ, pack) AS (
+  SELECT bkt, rn, doc_id, oversize, t, 0 FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bkt, o.rn, o.doc_id, o.oversize,
+         CASE WHEN w.occ + o.t > 2000 THEN o.t ELSE w.occ + o.t END,
+         CASE WHEN w.occ + o.t > 2000 THEN w.pack + 1 ELSE w.pack END
+  FROM walk w JOIN o ON o.bkt = w.bkt AND o.rn = w.rn + 1
+)
+SELECT doc_id, oversize,
+       bkt::VARCHAR || '-' || pack::VARCHAR AS pack_id
+FROM walk
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -1736,6 +1776,49 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's most
+    recent at-or-before purchase value. Spark has no native as-of
+    join; osas_spark/functions/asof.py expresses it as union + one
+    per-key ordered window carry-forward (single shuffle, no per-key
+    cross product). Oracle: DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the same semantics."""
+    from osas_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("pts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = asof_join(
+        clicks, purch, on=["user_id"], left_ts="ts", right_ts="pts",
+        payload_cols=["last_purchase_value"],
+    )
+    # the driver compare round-trips doubles through pandas, which
+    # renders a double NULL as NaN — canonicalize no-match to an
+    # explicit flag + sentinel so the hash compare is well-defined
+    # (the library function itself keeps true left-join NULLs)
+    return out.select(
+        "event_id", "user_id",
+        F.col("last_purchase_value").isNotNull().alias("matched"),
+        F.coalesce(F.round("last_purchase_value", 4), F.lit(-1.0)).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+_ASOF_LAST_PURCHASE_SQL = """
+SELECT l.event_id, l.user_id,
+       r.value IS NOT NULL AS matched,
+       coalesce(round(r.value, 4), -1.0) AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 _SESSIONIZE_SQL = """
 SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
 FROM (
@@ -1789,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "sample_split": _sample_split,
         "sample_stratified": _sample_stratified,
+        "pack_sequences": _pack_sequences,
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -1807,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _quantiles,
         "event_windows": _event_windows,
         "sessionize": _sessionize,
+        "asof_last_purchase": _asof_last_purchase,
     }
 
 
@@ -1836,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "sample_split": _build_sample_split_sql(),
         "sample_stratified": _SAMPLE_STRATIFIED_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "resume_equivalence": _RESUME_EQUIVALENCE_SQL,
@@ -1853,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": _QUANTILES_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "asof_last_purchase": _ASOF_LAST_PURCHASE_SQL,
         # dedup_minhash / dedup_simhash / ann_lsh: xxhash64-based —
         # intentionally rows-only (no ANSI-SQL equivalent).
     }

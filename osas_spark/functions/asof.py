@@ -1,0 +1,104 @@
+"""As-of join — attach to each left row the most recent right row at
+or before its timestamp, per key.
+
+Spark has no native as-of join; the naive formulations both die at
+scale: a theta-join on `l.ts >= r.ts` is a per-key cross product, and
+per-key collect + bisect is a driver loop. The scalable shape is the
+classic union + ordered window carry-forward:
+
+  1. union both sides with a source marker, right rows first at equal
+     timestamps (so "at or before" is inclusive);
+  2. ONE window per key ordered by (ts, marker): last non-null
+     right-payload carried forward;
+  3. keep the left rows — each now holds the latest right payload.
+
+Cost: a single shuffle on the key columns (the window), linear scan
+per key — the same cost as a groupBy over the union, with no join
+explosion regardless of how many right rows precede a left row. Skew
+follows key cardinality like any window; a degenerate single hot key
+is the caller's salting decision.
+
+The DuckDB oracle uses its NATIVE `ASOF JOIN` operator — a fully
+independent implementation of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str] | None = None,
+    strict: bool = False,
+    tolerance: F.Column | None = None,
+) -> DataFrame:
+    """For every `left` row, the latest `right` row with
+    right_ts <= left_ts (or < when `strict`) sharing the `on` keys.
+
+    Returns all left columns plus each payload column (right's
+    non-key, non-ts columns by default) as nullable — no match yields
+    nulls, like a left join. Right rows tied on (key, ts) resolve
+    deterministically: the LAST payload in (ts, payload) sort order
+    wins — callers wanting a different winner should pre-aggregate the
+    right side.
+
+    `tolerance`: optional max staleness (a Column interval/long in the
+    ts column's own comparison domain, e.g. F.expr("INTERVAL 1 HOUR")
+    or a long for numeric ts) — matches older than it become nulls,
+    the "don't join prices from last week" guard.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in on and c != right_ts]
+    if not payload_cols:
+        raise ValueError("asof_join: right side has no payload columns")
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join: payload columns {sorted(overlap)} collide with "
+            f"left columns — rename or restrict payload_cols"
+        )
+
+    ts = "__asof_ts"
+    src = "__asof_src"
+    pay = "__asof_pay"
+    # right sorts before left at equal ts when inclusive (so an equal-ts
+    # right row IS visible to the left row), after it when strict
+    r_marker, l_marker = (0, 1) if not strict else (1, 0)
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(ts),
+        F.lit(r_marker).alias(src),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(pay),
+    )
+    l = left.select(
+        *left.columns, F.col(left_ts).alias(ts), F.lit(l_marker).alias(src),
+        F.lit(None).cast(r.schema[pay].dataType).alias(pay),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(src).asc(), F.col(pay).asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last(pay, ignorenulls=True).over(w)
+    matched_ts = F.last(
+        F.when(F.col(pay).isNotNull(), F.col(ts)), ignorenulls=True
+    ).over(w)
+    out = u.withColumn("__hit", carried).withColumn("__hit_ts", matched_ts)
+    out = out.where(F.col(src) == l_marker)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__hit",
+            F.when(F.col(ts) - F.col("__hit_ts") <= tolerance, F.col("__hit")),
+        )
+    return out.select(
+        *left.columns,
+        *[F.col(f"__hit.{c}").alias(c) for c in payload_cols],
+    )

@@ -1,0 +1,99 @@
+"""Token-budget sequence packing — group documents into training
+sequences whose token counts sum to at most a budget.
+
+Pretraining pipelines concatenate documents into fixed-length
+sequences; the packing decision ("which docs share a sequence") must
+be deterministic and distributed. Optimal bin packing is NP-hard and
+inherently sequential; the pipeline-standard relaxation here is
+streaming NEXT-FIT in a deterministic order, made parallel by
+sharding:
+
+  1. shard rows into `n_buckets` by a content-hash prefix (md5 — the
+     same engine-replayable determinism as functions/sampling.py);
+  2. within each bucket, order rows by (hash, id) and run next-fit:
+     a row opens a new pack when adding it would overflow the budget;
+  3. pack id = "<bucket>-<seq>" — globally unique, stable across
+     runs, retries and partitionings.
+
+Scale shape: ONE shuffle on the bucket key; each bucket is an
+independent partition, so parallelism = n_buckets regardless of
+corpus size (pick n_buckets ~ cores x a few for even load). The
+next-fit recursion (occupancy resets at each boundary) is NOT a plain
+window cumsum, so it runs as an applyInPandas scan per bucket — an
+O(rows) loop over primitive int64 arrays inside one Arrow batch
+stream, not per-row Python objects crossing the boundary per row.
+Waste (pack under-fill) is next-fit's: bounded, not optimal — the
+standard trade for a single-pass distributed packer.
+
+Rows LARGER than the budget get a pack of their own and are flagged
+`oversize` (truncating/splitting is a tokenizer-side decision this
+operator refuses to hide).
+
+Reference parity: no analogue (training-data-pipeline addition, like
+dedup/sampling). The DuckDB oracle replays the identical next-fit
+with a recursive CTE over the same bucket/hash order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.functions.sampling import sample_key
+
+
+def pack_by_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    salt: str = "",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Deterministic next-fit packing: returns the input rows plus
+    `oversize` (token count alone exceeds the budget) and `pack_col`
+    ("<bucket>-<seq>"). Token sums per pack never exceed the budget,
+    except packs holding a single oversize row.
+
+    Sequential definition per bucket (the property tests assert, and
+    the recursion the DuckDB oracle replays):
+
+        occ = 0; pack = 0
+        for each row in (md5(key), key) order:
+            t = min(tokens, budget)          # oversize sits alone
+            if occ + t > budget: pack += 1; occ = 0
+            occ += t
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_by_budget: budget must be positive, got {budget}")
+    key = sample_key(key_cols, salt)
+    b = F.pmod(
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("long"), F.lit(n_buckets)
+    ).alias("__bkt")
+    tok = F.least(F.col(token_col).cast("long"), F.lit(budget)).alias("__tok")
+    oversize = (F.col(token_col) > budget).alias("oversize")
+    staged = df.select("*", oversize, b, tok, key.alias("__key"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__key"] + key_cols, kind="mergesort")
+        toks = pdf["__tok"].to_numpy(dtype=np.int64)
+        packs = np.empty(len(toks), dtype=np.int64)
+        occ = 0
+        pack = 0
+        for i, t in enumerate(toks):
+            if occ + t > budget:
+                pack += 1
+                occ = 0
+            occ += t
+            packs[i] = pack
+        bkt = int(pdf["__bkt"].iloc[0]) if len(pdf) else 0
+        out = pdf.drop(columns=["__tok", "__key", "__bkt"])
+        out[pack_col] = [f"{bkt}-{p}" for p in packs]
+        return out
+
+    out_schema = staged.drop("__tok", "__key", "__bkt").schema.add(pack_col, "string")
+    return staged.groupBy("__bkt").applyInPandas(_pack, schema=out_schema)

@@ -1,0 +1,101 @@
+"""As-of join semantics vs a pure-Python bisect oracle."""
+
+import bisect
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _py_asof(lefts, rights, strict=False):
+    """{(key, lts) -> payload or None} via sorted-list bisect."""
+    by_key: dict = {}
+    for k, ts, v in rights:
+        by_key.setdefault(k, []).append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    out = {}
+    for k, ts in lefts:
+        rs = by_key.get(k, [])
+        i = (
+            bisect.bisect_left(rs, (ts, float("-inf")))
+            if strict
+            else bisect.bisect_right(rs, (ts, float("inf")))
+        )
+        out[(k, ts)] = rs[i - 1][1] if i > 0 else None
+    return out
+
+
+def _frames(spark, lefts, rights):
+    l = spark.createDataFrame(
+        [(k, ts) for k, ts in lefts], "k long, lts long"
+    )
+    r = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in rights], "k long, rts long, payload double"
+    )
+    return l, r
+
+
+def test_asof_matches_bisect_oracle(spark):
+    from osas_spark.functions.asof import asof_join
+
+    rng = random.Random(11)
+    lefts = [(rng.randrange(5), rng.randrange(100)) for _ in range(120)]
+    rights = [
+        (rng.randrange(5), rng.randrange(100), float(i)) for i in range(80)
+    ]
+    lefts = sorted(set(lefts))
+    rights = [(k, t, v) for (k, t), v in
+              {(k, t): v for k, t, v in rights}.items()]  # unique (k, ts)
+    l, r = _frames(spark, lefts, rights)
+    for strict in (False, True):
+        got = {
+            (row["k"], row["lts"]): row["payload"]
+            for row in asof_join(
+                l, r, on=["k"], left_ts="lts", right_ts="rts", strict=strict
+            ).collect()
+        }
+        assert got == _py_asof(lefts, rights, strict=strict), f"strict={strict}"
+
+
+def test_asof_inclusive_vs_strict_at_equal_ts(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l, r = _frames(spark, [(1, 10)], [(1, 10, 7.0), (1, 5, 3.0)])
+    inc = asof_join(l, r, ["k"], "lts", "rts").first()
+    assert inc["payload"] == 7.0  # equal ts visible
+    st = asof_join(l, r, ["k"], "lts", "rts", strict=True).first()
+    assert st["payload"] == 3.0  # equal ts excluded -> previous row
+
+
+def test_asof_no_match_is_null_and_left_preserved(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l, r = _frames(spark, [(1, 3), (2, 50)], [(1, 10, 1.0)])
+    rows = {row["k"]: row for row in asof_join(l, r, ["k"], "lts", "rts").collect()}
+    assert len(rows) == 2  # left join: every left row survives
+    assert rows[1]["payload"] is None  # right row is later
+    assert rows[2]["payload"] is None  # key absent on right
+
+
+def test_asof_tolerance_expires_stale_matches(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l, r = _frames(spark, [(1, 100), (1, 12)], [(1, 10, 5.0)])
+    rows = {
+        row["lts"]: row["payload"]
+        for row in asof_join(
+            l, r, ["k"], "lts", "rts", tolerance=F.lit(20)
+        ).collect()
+    }
+    assert rows[12] == 5.0  # 2 ticks old: fresh
+    assert rows[100] is None  # 90 ticks old: expired
+
+
+def test_asof_payload_collision_raises(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l = spark.createDataFrame([(1, 2, 0.0)], "k long, lts long, payload double")
+    _, r = _frames(spark, [], [(1, 1, 1.0)])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, ["k"], "lts", "rts")

@@ -1,0 +1,93 @@
+"""Sequence packing vs an independent sequential Python packer."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, n=400, seed_mod=97):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % seed_mod + 1).alias("tokens"),
+    )
+
+
+def _py_pack(rows, budget, n_buckets, salt=""):
+    """{doc_id: pack_id} replicating the documented next-fit exactly,
+    from hashlib.md5 up — shares nothing with the Spark path."""
+    staged = []
+    for doc_id, tokens in rows:
+        k = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
+        staged.append((int(k[:2], 16) % n_buckets, k, doc_id, tokens))
+    out = {}
+    for bkt in sorted({s[0] for s in staged}):
+        occ, pack = 0, 0
+        for _, k, doc_id, tokens in sorted(
+            [s for s in staged if s[0] == bkt], key=lambda s: (s[1], s[2])
+        ):
+            t = min(tokens, budget)
+            if occ + t > budget:
+                pack += 1
+                occ = 0
+            occ += t
+            out[doc_id] = f"{bkt}-{pack}"
+    return out
+
+
+def test_packing_matches_python_replica(spark):
+    from osas_spark.functions.packing import pack_by_budget
+
+    df = _docs(spark)
+    rows = [(r["doc_id"], r["tokens"]) for r in df.collect()]
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_by_budget(df, "tokens", 150, ["doc_id"], n_buckets=8).collect()
+    }
+    assert got == _py_pack(rows, 150, 8)
+
+
+def test_packing_budget_invariant_and_fill(spark):
+    from osas_spark.functions.packing import pack_by_budget
+
+    df = _docs(spark)
+    out = pack_by_budget(df, "tokens", 150, ["doc_id"], n_buckets=8)
+    sums = out.groupBy("pack_id").agg(
+        F.sum("tokens").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    assert sums.where("s > 150").count() == 0  # no oversize rows here
+    # next-fit actually packs: average fill must beat one-doc-per-pack
+    stats = sums.agg(F.avg("s").alias("fill"), F.avg("n").alias("docs")).first()
+    assert stats["docs"] > 1.5 and stats["fill"] > 75
+
+
+def test_packing_invariant_to_partitioning(spark):
+    from osas_spark.functions.packing import pack_by_budget
+
+    df = _docs(spark)
+    a = {r["doc_id"]: r["pack_id"]
+         for r in pack_by_budget(df, "tokens", 150, ["doc_id"]).collect()}
+    b = {r["doc_id"]: r["pack_id"]
+         for r in pack_by_budget(df.repartition(13), "tokens", 150, ["doc_id"]).collect()}
+    assert a == b
+
+
+def test_packing_oversize_sits_alone_and_flagged(spark):
+    from osas_spark.functions.packing import pack_by_budget
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 900), (3, 60), (4, 40)], "doc_id long, tokens long"
+    )
+    out = pack_by_budget(df, "tokens", 100, ["doc_id"], n_buckets=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["oversize"] and not rows[1]["oversize"]
+    # the oversize row shares its pack with nobody
+    mates = [r for r in rows.values() if r["pack_id"] == rows[2]["pack_id"]]
+    assert len(mates) == 1
+
+
+def test_packing_rejects_bad_budget(spark):
+    from osas_spark.functions.packing import pack_by_budget
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_by_budget(_docs(spark), "tokens", 0, ["doc_id"])
