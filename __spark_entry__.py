@@ -1382,6 +1382,65 @@ FROM r
 """
 
 
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline, composed from the engine's own
+    operators: quality gate (textfns.quality_features >= 0.75) ->
+    exact dedup keeping the min-id copy per content digest (one
+    shuffle on the digest, groupBy-min + semi-join — content never
+    self-joins) -> deterministic stratified eval cut (10 per lang,
+    functions/sampling.py). Each stage is individually oracle-green
+    (text_quality, dedup_exact, sample_stratified); this query proves
+    the COMPOSITION stays exactly reproducible — the DuckDB oracle
+    rebuilds the full three-stage pipeline in SQL."""
+    from osas_spark.functions.sampling import stratified_sample
+    from osas_spark.functions.textfns import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    qf = quality_features(docs, "text").where(F.col("quality_score") >= 0.75)
+    keep_ids = (
+        qf.groupBy(F.md5("text").alias("__digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = qf.join(keep_ids, on="doc_id", how="left_semi").select(
+        "doc_id", "lang"
+    )
+    out = stratified_sample(deduped, ["lang"], k=10, key_cols=["doc_id"], salt="cur")
+    return out.select("doc_id", "lang")
+
+
+_CORPUS_CURATION_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, text,
+         (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) < 0.3 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END) > 0.5 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN ws_tokens > 0 THEN n_chars::DOUBLE / ws_tokens ELSE 0 END) BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+           AS quality_score
+  FROM f
+),
+kept AS (SELECT doc_id, lang, text FROM r WHERE quality_score >= 0.75),
+keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+dd AS (SELECT k.doc_id, k.lang FROM kept k JOIN keep_ids USING (doc_id))
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat_ws('|', 'cur', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rn
+  FROM dd
+) WHERE rn <= 10
+"""
+
+
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osas_spark.functions.textfns import lang_id_scores
 
@@ -1879,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_equivalence": _resume_equivalence,
         "multimodal_features": _multimodal_features,
         "text_quality": _text_quality,
+        "corpus_curation": _corpus_curation,
         "text_perplexity": _text_perplexity,
         "label_combo_nll": _label_combo_nll,
         "lang_id": _lang_id,
@@ -1927,6 +1987,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_equivalence": _RESUME_EQUIVALENCE_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
+        "corpus_curation": _CORPUS_CURATION_SQL,
         "text_perplexity": _TEXT_PERPLEXITY_SQL,
         "label_combo_nll": _LABEL_COMBO_NLL_SQL,
         "lang_id": _build_lang_id_sql(),

@@ -38,6 +38,38 @@ def score_stream(suite: ValidationSuite, stream_df: DataFrame) -> DataFrame:
     return suite.transform(stream_df)
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    content_col: str,
+    ts_col: str,
+    delay: str = "1 hour",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: drop rows whose
+    content digest already arrived within the watermark horizon.
+
+    State is the digest set, and `dropDuplicatesWithinWatermark`
+    evicts entries once the watermark passes them — without the
+    watermark a 100 TB/day stream's dedup state grows forever and the
+    job dies of state-store bloat; with it, state is bounded by
+    (arrival rate x delay). The trade is explicit: a duplicate
+    arriving more than `delay` after its twin is NOT dropped — late
+    re-crawls beyond the horizon are a batch-dedup concern
+    (functions/dedup.py), not a streaming-state one.
+
+    Digest, not content, keys the state (16 bytes/row, same policy as
+    exact_duplicates). Output carries `digest_col` so downstream batch
+    reconciliation can join on it.
+    """
+    assert stream_df.isStreaming
+    out = stream_df.withColumn(
+        digest_col, F.md5(F.col(content_col).cast("string"))
+    )
+    return out.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        [digest_col]
+    )
+
+
 def windowed_verdicts(
     suite: ValidationSuite,
     labeled_stream: DataFrame,

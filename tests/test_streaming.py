@@ -61,3 +61,36 @@ def test_running_key_stats_match_batch(spark, tmp_path):
         for r in grouped_numeric_stats(df, "x", ["k"]).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    from osas_spark.streaming import dedup_stream
+
+    # 300 rows, 100 distinct contents -> 3 copies each, close timestamps
+    df = spark.range(300).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("content "), (F.col("id") % 100)).alias("content"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    src = str(tmp_path / "dsrc")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = dedup_stream(stream, "content", "ts", delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from dstream")
+    # every duplicate inside the horizon dropped: one row per digest,
+    # and the kept digest set equals the batch-dedup digest set
+    assert got.count() == 100
+    assert got.select("digest").distinct().count() == 100
+    batch = {
+        r["digest"]
+        for r in df.withColumn("digest", F.md5("content"))
+        .select("digest").distinct().collect()
+    }
+    assert {r["digest"] for r in got.collect()} == batch

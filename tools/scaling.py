@@ -112,9 +112,13 @@ def _run(code: str) -> str:
     # (the library default 8g is sized for tests)
     env = dict(os.environ, OSAS_DRIVER_MEM=os.environ.get("OSAS_DRIVER_MEM", "56g"))
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        check=True, env=env,
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
     )
+    if out.returncode != 0:
+        # surface the child's actual failure — a swallowed stderr turns
+        # a worker OOM/JVM crash into an undiagnosable CalledProcessError
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"scaling worker failed (exit {out.returncode})")
     return out.stdout.strip().splitlines()[-1]
 
 
