@@ -172,11 +172,15 @@ def canonicalize_clusters(
     """
     from pyspark.sql import Window as W
 
-    cc = connected_components(pairs, src=src, dst=dst)
-    out = docs.join(cc, docs[id_col] == cc["id"], "left").drop("id")
+    # reserved-name isolation: a docs table with its own `id` or
+    # `component` column must not collide with the cc output
+    cc = connected_components(pairs, src=src, dst=dst).withColumnsRenamed(
+        {"id": "__cc_id", "component": "__cc_component"}
+    )
+    out = docs.join(cc, docs[id_col] == cc["__cc_id"], "left").drop("__cc_id")
     out = out.withColumn(
-        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
-    ).drop("component")
+        "cluster_id", F.coalesce(F.col("__cc_component"), F.col(id_col))
+    ).drop("__cc_component")
     w = W.partitionBy("cluster_id")
     order = (
         [F.col(score_col).desc(), F.col(id_col).asc()]

@@ -99,3 +99,18 @@ def test_asof_payload_collision_raises(spark):
     _, r = _frames(spark, [], [(1, 1, 1.0)])
     with pytest.raises(ValueError, match="collide"):
         asof_join(l, r, ["k"], "lts", "rts")
+
+
+def test_asof_plan_single_shuffle_no_cross_product(spark):
+    """Scale-shape assertion: the as-of join is union + ONE window
+    shuffle on the key — no join operator at all in the plan (the
+    naive theta-join shape would show BroadcastNestedLoopJoin or a
+    range-condition SortMergeJoin whose per-key cost is quadratic)."""
+    from osas_spark.functions.asof import asof_join
+
+    l, r = _frames(spark, [(1, 3)], [(1, 1, 1.0)])
+    plan = asof_join(l, r, ["k"], "lts", "rts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan  # no join operator of any kind
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the key window

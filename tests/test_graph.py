@@ -144,3 +144,18 @@ def test_cc_on_planted_near_dup_graph(spark, sf_dir):
     # cluster count + membership must be reproducible run-to-run
     cc2 = connected_components(pairs)
     assert {(r["id"], r["component"]) for r in cc2.collect()} == set(lab.items())
+
+
+def test_cc_plan_has_no_adjacency_arrays_or_cartesian(spark):
+    """Scale-shape assertion: one star round is groupBy-min + join —
+    no collect_set/collect_list (a hot node's neighborhood must never
+    materialize as one array) and no cartesian product."""
+    from osas_spark.functions.graph import _large_star, _small_star
+
+    e = spark.createDataFrame([(3, 1), (4, 1), (4, 2)], "u long, v long")
+    for stage in (_large_star(e), _small_star(e)):
+        plan = stage._jdf.queryExecution().executedPlan().toString()
+        assert "collect_set" not in plan and "collect_list" not in plan
+        assert "Cartesian" not in plan
+        # map-side partial aggregation before the exchange
+        assert "partial_min" in plan

@@ -109,3 +109,17 @@ def test_mix_corpora_rates_and_provenance(spark):
     # per-source salting: the same ids draw independently per source
     with pytest.raises(ValueError, match="no sources"):
         mix_corpora({}, key_cols=["doc_id"])
+
+
+def test_bernoulli_plan_is_pure_filter(spark):
+    """Scale-shape assertion: hash sampling is a scan-side filter —
+    zero exchanges, zero aggregations; Catalyst keeps it inside the
+    scan's WholeStageCodegen span."""
+    from osas_spark.functions.sampling import sample_fraction
+
+    df = _docs(spark)
+    plan = sample_fraction(df, 0.3, ["doc_id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+    assert "Filter" in plan
