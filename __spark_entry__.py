@@ -559,10 +559,13 @@ def _svd_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # golden generated by _svd_scores itself at sf0.01 (bit-deterministic;
 # see the query docstring) — gives the numpy-SVD path a full
-# rows+schema+hash CORRECTNESS row instead of a rows-only entry
-_SVD_SCORES_SQL = """
+# rows+schema+hash CORRECTNESS row instead of a rows-only entry.
+# Path derived from __file__ so the golden stays relocatable.
+_SVD_SCORES_SQL = f"""
 SELECT event_id, score
-FROM read_parquet('/root/repo/tests/fixtures/svd_scores_sf0.01.parquet')
+FROM read_parquet('{os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tests", "fixtures",
+                                 "svd_scores_sf0.01.parquet")}')
 """
 
 
@@ -1028,7 +1031,7 @@ _PACK_SEQUENCES_SQL = """
 WITH RECURSIVE s AS (
   SELECT doc_id,
          md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))) AS k,
-         ('0x' || substr(md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))), 1, 2))::BIGINT % 8 AS bkt,
+         ('0x' || substr(md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))), 1, 4))::BIGINT % 8 AS bkt,
          least(n_chars, 2000) AS t,
          n_chars > 2000 AS oversize
   FROM documents

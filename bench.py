@@ -94,9 +94,17 @@ def ensure_big_fixture(spark, src: str, dst: str, k: int) -> None:
     Deterministic — pure column expressions over the source parquet."""
     import pyspark.sql.functions as F
 
+    # the marker records WHICH source built the fixture: switching
+    # SPARK_GRAFT_SF_DIR must rebuild, not silently reuse 10x data
+    # derived from a different source
     marker = os.path.join(dst, "_DONE")
+    stamp = f"src={os.path.abspath(src)} k={k}"
     if os.path.exists(marker):
-        return
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return
+        print(f"# big fixture at {dst} was built from a different "
+              f"source — rebuilding", file=sys.stderr)
     print(f"# building {k}x fixture at {dst} ...", file=sys.stderr)
     os.makedirs(dst, exist_ok=True)
     for t, ids in _BIG_ID_COLS.items():
@@ -118,7 +126,7 @@ def ensure_big_fixture(spark, src: str, dst: str, k: int) -> None:
             "overwrite"
         ).parquet(f"{dst}/{t}.parquet")
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(stamp)
 
 
 def main() -> None:

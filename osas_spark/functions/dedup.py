@@ -253,8 +253,11 @@ def _get_simhash_kernel():
                 h = np.asarray(hs, dtype=np.int64).view(np.uint64)
                 bits = (h[:, None] >> bitpos) & np.uint64(1)  # (T, 64)
                 maj = (2 * bits.astype(np.int64) - 1).sum(axis=0) > 0
-                packed = (weights * maj.astype(np.uint64)).sum(dtype=np.uint64)
-                out.append(int(np.int64(packed)))
+                packed = int((weights * maj.astype(np.uint64)).sum(dtype=np.uint64))
+                # two's-complement fold in pure Python: np.int64(uint64)
+                # silently wraps on numpy 1.x but RAISES OverflowError on
+                # numpy 2.x whenever bit 63 is set (~half of real docs)
+                out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
             return pd.Series(out, dtype="object")
 
         _simhash_udf = simhash_kernel

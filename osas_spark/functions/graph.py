@@ -91,20 +91,24 @@ def connected_components(
     than any real graph needs, so non-convergence means broken input
     (e.g. NaN ids) and silence would mislabel every cluster.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    # nodes come from the RAW edge list: a node whose only edges are
+    # self-loops must still appear (as its own singleton component),
+    # not vanish with the self-loop filter below
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        raw.where(F.col("u") != F.col("v"))
         # orient big-endpoint-first and dedupe: (a,b) and (b,a) are the
         # same undirected edge and must not double the first round
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        .distinct()
-    )
-    nodes = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
         .distinct()
     )
 

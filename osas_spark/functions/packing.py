@@ -71,8 +71,12 @@ def pack_by_budget(
     if budget <= 0:
         raise ValueError(f"pack_by_budget: budget must be positive, got {budget}")
     key = sample_key(key_cols, salt)
+    # 4 hex chars = 65,536 shard values: n_buckets beyond 256 stays
+    # real parallelism, and pmod skew from non-dividing bucket counts
+    # is <= 1/65536 per bucket (2 chars capped parallelism at 256 and
+    # gave ~20% load skew at n_buckets=48)
     b = F.pmod(
-        F.conv(F.substring(key, 1, 2), 16, 10).cast("long"), F.lit(n_buckets)
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long"), F.lit(n_buckets)
     ).alias("__bkt")
     tok = F.least(F.col(token_col).cast("long"), F.lit(budget)).alias("__tok")
     oversize = (F.col(token_col) > budget).alias("oversize")

@@ -89,11 +89,20 @@ def _nearest_cell_udf(centroids: list[list[float]]):
 
     @pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        V = np.stack(vecs.to_numpy())
-        sims = V @ Cn.T  # |v| is constant per row -> argmax over dots
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        # null-mask like _get_sign_buckets_kernel: a NULL embedding
+        # yields a null cell (the replaced JVM expressions did), not an
+        # np.stack crash that fails the whole task
+        arr = vecs.to_numpy()
+        mask = np.array([v is not None for v in arr])
+        out: list[int | None] = [None] * len(arr)
+        if mask.any():
+            V = np.stack(arr[mask]).astype(np.float64)
+            sims = V @ Cn.T  # |v| is constant per row -> argmax over dots
+            it = iter(np.argmax(sims, axis=1))
+            for i, ok in enumerate(mask):
+                if ok:
+                    out[i] = int(next(it))
+        return pd.Series(out, dtype="object")
 
     return nearest
 
@@ -109,12 +118,18 @@ def _probe_cells_udf(centroids: list[list[float]], n_probe: int):
 
     @pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="object")
-        V = np.stack(vecs.to_numpy())
-        sims = V @ Cn.T
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype("int32")
-        return pd.Series(list(order))
+        arr = vecs.to_numpy()
+        mask = np.array([v is not None for v in arr])
+        out: list[list[int] | None] = [None] * len(arr)
+        if mask.any():
+            V = np.stack(arr[mask]).astype(np.float64)
+            sims = V @ Cn.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+            it = iter(order)
+            for i, ok in enumerate(mask):
+                if ok:
+                    out[i] = [int(c) for c in next(it)]
+        return pd.Series(out, dtype="object")
 
     return probes
 
@@ -213,8 +228,11 @@ def cosine_topk_ivf(
         "cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col("q_vec")))
     ).withColumn("q_nrm", _norm(F.col("q_vec")))
     # size-gated: batch-ANN can push |Q| x n_probe past broadcast range,
-    # in which case the join degrades to a shuffle on the cell id
-    q, _ = broadcast_if_small(q)
+    # in which case the join degrades to a shuffle on the cell id.
+    # persist=False: q feeds exactly one join, so the cache a persist
+    # buys is never reused — persisting would strand one |Q| x n_probe
+    # block-store entry per ANN batch
+    q, _ = broadcast_if_small(q, persist=False)
     joined = c.join(q, on="cell")
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))

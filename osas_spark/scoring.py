@@ -155,11 +155,16 @@ class SVDReconstructionScorer:
         recon = mat @ self._vt.T @ self._vt
         err = np.sqrt(((mat - recon) ** 2).sum(axis=1))
         spark = df.sparkSession
+        old = self._scores
         self._scores = spark.createDataFrame(
             [(r["lkey"], float(e)) for r, e in zip(rows, err)],
             schema=f"lkey string, {self.score_col} double",
         )
         self._bcast = None  # model changed — re-probe on next score
+        if old is not None:
+            # the score()-time probe persisted the previous table — a
+            # refit loop must not strand one cached copy per batch
+            old.unpersist()
         return self
 
     def score(self, df: DataFrame) -> DataFrame:
@@ -215,10 +220,15 @@ class NGramCombinationScorer:
         )
         totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
         # totals is <= max_order rows by construction — hint directly
+        old = self._model
         self._model = counts.join(F.broadcast(totals), on="order").withColumn(
             "nll", -F.log(F.col("cnt") / F.col("total"))
         )
         self._bcast = None  # model changed — re-probe on next score
+        if old is not None:
+            # release the copy the score()-time probe persisted (same
+            # refit hygiene as CategoricalCheck._finalize)
+            old.unpersist()
         return self
 
     def combo_table(self) -> DataFrame:

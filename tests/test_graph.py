@@ -76,6 +76,9 @@ def test_cc_empty_edges(spark):
 def test_cc_self_loops_ignored(spark):
     got = _cc(spark, [(3, 3), (3, 4)])
     assert got == {3: 3, 4: 3}
+    # a node with ONLY self-loops is still a (singleton) node, not
+    # silently dropped from the output
+    assert _cc(spark, [(5, 5), (1, 2)]) == {5: 5, 1: 1, 2: 1}
 
 
 def test_canonicalize_min_id_and_sizes(spark):

@@ -19,7 +19,7 @@ def _py_pack(rows, budget, n_buckets, salt=""):
     staged = []
     for doc_id, tokens in rows:
         k = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
-        staged.append((int(k[:2], 16) % n_buckets, k, doc_id, tokens))
+        staged.append((int(k[:4], 16) % n_buckets, k, doc_id, tokens))
     out = {}
     for bkt in sorted({s[0] for s in staged}):
         occ, pack = 0, 0
