@@ -1,5 +1,5 @@
-"""As-of join — attach to each left row the most recent right row at
-or before its timestamp, per key.
+"""As-of join — attach to each left row the nearest right row at or
+before (backward) / at or after (forward) its timestamp, per key.
 
 Spark has no native as-of join; the naive formulations both die at
 scale: a theta-join on `l.ts >= r.ts` is a per-key cross product, and
@@ -12,11 +12,21 @@ classic union + ordered window carry-forward:
      right-payload carried forward;
   3. keep the left rows — each now holds the latest right payload.
 
+`direction="forward"` is the mirror image: the window scans descending
+ts, so the carried payload is the EARLIEST right row at or after the
+left timestamp — same single shuffle, same linear scan.
+
 Cost: a single shuffle on the key columns (the window), linear scan
 per key — the same cost as a groupBy over the union, with no join
 explosion regardless of how many right rows precede a left row. Skew
 follows key cardinality like any window; a degenerate single hot key
 is the caller's salting decision.
+
+NULL keys follow SQL join semantics: a NULL key never matches, so
+null-keyed right rows are dropped before the union (a window
+partitionBy would otherwise group NULLs together and silently diverge
+from the DuckDB ASOF oracle, where NULL = NULL is false). Null-keyed
+left rows are preserved with null payload, like a left join.
 
 The DuckDB oracle uses its NATIVE `ASOF JOIN` operator — a fully
 independent implementation of the same semantics.
@@ -26,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+_RESERVED = ("__asof_ts", "__asof_src", "__asof_pay", "__hit", "__hit_ts")
 
 
 def asof_join(
@@ -37,22 +49,31 @@ def asof_join(
     payload_cols: list[str] | None = None,
     strict: bool = False,
     tolerance: F.Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every `left` row, the latest `right` row with
-    right_ts <= left_ts (or < when `strict`) sharing the `on` keys.
+    """For every `left` row, the nearest `right` row sharing the `on`
+    keys: with direction="backward" (default) the LATEST right row with
+    right_ts <= left_ts (or < when `strict`); with direction="forward"
+    the EARLIEST right row with right_ts >= left_ts (or > when strict).
 
     Returns all left columns plus each payload column (right's
     non-key, non-ts columns by default) as nullable — no match yields
     nulls, like a left join. Right rows tied on (key, ts) resolve
-    deterministically: the LAST payload in (ts, payload) sort order
-    wins — callers wanting a different winner should pre-aggregate the
-    right side.
+    deterministically: the extreme payload in payload sort order wins
+    (max for backward, max for forward) — callers wanting a different
+    winner should pre-aggregate the right side.
 
-    `tolerance`: optional max staleness (a Column interval/long in the
-    ts column's own comparison domain, e.g. F.expr("INTERVAL 1 HOUR")
-    or a long for numeric ts) — matches older than it become nulls,
-    the "don't join prices from last week" guard.
+    `tolerance`: optional max staleness/lead (a Column interval/long in
+    the ts column's own comparison domain, e.g.
+    F.expr("INTERVAL 1 HOUR") or a long for numeric ts) — matches
+    farther away than it become nulls, the "don't join prices from last
+    week" guard.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got "
+            f"{direction!r}"
+        )
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in on and c != right_ts]
     if not payload_cols:
@@ -63,14 +84,27 @@ def asof_join(
             f"asof_join: payload columns {sorted(overlap)} collide with "
             f"left columns — rename or restrict payload_cols"
         )
+    reserved = set(_RESERVED) & (set(left.columns) | set(payload_cols) | set(on))
+    if reserved:
+        raise ValueError(
+            f"asof_join: columns {sorted(reserved)} collide with internal "
+            f"working names — rename them before joining"
+        )
 
     ts = "__asof_ts"
     src = "__asof_src"
     pay = "__asof_pay"
-    # right sorts before left at equal ts when inclusive (so an equal-ts
-    # right row IS visible to the left row), after it when strict
+    # the right row must sort BEFORE the left row in the scan direction
+    # exactly when an equal-ts right row should be visible (inclusive),
+    # and after it when strict — same marker trick both directions
     r_marker, l_marker = (0, 1) if not strict else (1, 0)
-    r = right.select(
+    # SQL NULL semantics: null-keyed right rows can never match anything
+    null_key = None
+    for kc in on:
+        cond = F.col(kc).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    r = right.where(~null_key) if null_key is not None else right
+    r = r.select(
         *on,
         F.col(right_ts).alias(ts),
         F.lit(r_marker).alias(src),
@@ -82,9 +116,10 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(src).asc(), F.col(pay).asc_nulls_first())
+        .orderBy(ts_order, F.col(src).asc(), F.col(pay).asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = F.last(pay, ignorenulls=True).over(w)
@@ -94,9 +129,13 @@ def asof_join(
     out = u.withColumn("__hit", carried).withColumn("__hit_ts", matched_ts)
     out = out.where(F.col(src) == l_marker)
     if tolerance is not None:
+        gap = (
+            F.col(ts) - F.col("__hit_ts")
+            if direction == "backward"
+            else F.col("__hit_ts") - F.col(ts)
+        )
         out = out.withColumn(
-            "__hit",
-            F.when(F.col(ts) - F.col("__hit_ts") <= tolerance, F.col("__hit")),
+            "__hit", F.when(gap <= tolerance, F.col("__hit"))
         )
     return out.select(
         *left.columns,

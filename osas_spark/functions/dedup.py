@@ -511,22 +511,27 @@ def _get_sign_buckets_kernel(n_planes: int, offsets: tuple[int, ...] = (0,)):
 
         @pandas_udf("array<long>")
         def sign_buckets(vecs: pd.Series) -> pd.Series:
-            out: list[list[int] | None] = []
             arr = vecs.to_numpy()
-            mask = np.array([v is not None for v in arr])
-            if not mask.any():
-                return pd.Series([None] * len(arr), dtype="object")
-            V = np.stack(arr[mask]).astype(np.float64)
-            dim = V.shape[1]
-            if dim not in mats:
-                mats[dim] = _plane_matrix(dim, n_planes, tuple(offsets))
-            bits = (V @ mats[dim].T) >= 0  # (B, n_tables * n_planes)
-            it = iter(
-                bits.reshape(len(V), len(offsets), n_planes)
-                .astype(np.int64) @ weights
-            )
-            for ok in mask:
-                out.append([int(b) for b in next(it)] if ok else None)
+            out: list[list[int] | None] = [None] * len(arr)
+            # group rows by vector length before stacking: a batch mixing
+            # embedding dims must not raise in np.stack (the replaced JVM
+            # expression evaluated per row and tolerated per-row dims) —
+            # each dim group gets its own matmul against its own planes
+            by_dim: dict[int, list[int]] = {}
+            for i, v in enumerate(arr):
+                if v is not None:
+                    by_dim.setdefault(len(v), []).append(i)
+            for dim, idxs in by_dim.items():
+                if dim not in mats:
+                    mats[dim] = _plane_matrix(dim, n_planes, tuple(offsets))
+                V = np.stack(arr[idxs]).astype(np.float64)
+                bits = (V @ mats[dim].T) >= 0  # (B, n_tables * n_planes)
+                bkts = (
+                    bits.reshape(len(V), len(offsets), n_planes)
+                    .astype(np.int64) @ weights
+                )
+                for i, row in zip(idxs, bkts):
+                    out[i] = [int(b) for b in row]
             return pd.Series(out, dtype="object")
 
         _sign_bucket_kernels[key] = sign_buckets

@@ -46,7 +46,11 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("q_vec"),
     ).withColumn("q_nrm", _norm(F.col("q_vec")))
 
-    joined = c.crossJoin(F.broadcast(q))
+    # documented as the exact small-query baseline, but the same size
+    # gate as the approximate paths costs nothing: a degenerate huge
+    # query set falls back to a plain cross join instead of OOMing
+    q, _ = broadcast_if_small(q, persist=False)
+    joined = c.crossJoin(q)
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))
@@ -311,7 +315,12 @@ def cosine_topk_lsh(
         .dropDuplicates(["query_id", "tbl", "bucket"])
         .withColumn("q_nrm", _norm(F.col("q_vec")))
     )
-    joined = c.join(F.broadcast(q), on=["tbl", "bucket"])
+    # size-gated like the IVF path: batch ANN makes the exploded query
+    # side |Q| x L x (1+multiprobe) rows each carrying the full vector —
+    # past the broadcast limit the join must degrade to a shuffle on
+    # (tbl, bucket) instead of OOMing the build side
+    q, _ = broadcast_if_small(q, persist=False)
+    joined = c.join(q, on=["tbl", "bucket"])
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_nrm") * F.col("q_nrm"))

@@ -92,6 +92,93 @@ def test_asof_tolerance_expires_stale_matches(spark):
     assert rows[100] is None  # 90 ticks old: expired
 
 
+def _py_asof_fwd(lefts, rights, strict=False):
+    """Forward mirror of _py_asof: earliest right at-or-after (after
+    when strict) the left ts."""
+    by_key: dict = {}
+    for k, ts, v in rights:
+        by_key.setdefault(k, []).append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    out = {}
+    for k, ts in lefts:
+        rs = by_key.get(k, [])
+        i = (
+            bisect.bisect_right(rs, (ts, float("inf")))
+            if strict
+            else bisect.bisect_left(rs, (ts, float("-inf")))
+        )
+        out[(k, ts)] = rs[i][1] if i < len(rs) else None
+    return out
+
+
+def test_asof_forward_matches_bisect_oracle(spark):
+    from osas_spark.functions.asof import asof_join
+
+    rng = random.Random(23)
+    lefts = sorted({(rng.randrange(5), rng.randrange(100)) for _ in range(120)})
+    rights = [(k, t, v) for (k, t), v in
+              {(rng.randrange(5), rng.randrange(100)): float(i)
+               for i in range(80)}.items()]
+    l, r = _frames(spark, lefts, rights)
+    for strict in (False, True):
+        got = {
+            (row["k"], row["lts"]): row["payload"]
+            for row in asof_join(
+                l, r, on=["k"], left_ts="lts", right_ts="rts",
+                strict=strict, direction="forward",
+            ).collect()
+        }
+        assert got == _py_asof_fwd(lefts, rights, strict=strict), f"strict={strict}"
+
+
+def test_asof_forward_tolerance_expires_distant_matches(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l, r = _frames(spark, [(1, 5), (1, 95)], [(1, 100, 5.0)])
+    rows = {
+        row["lts"]: row["payload"]
+        for row in asof_join(
+            l, r, ["k"], "lts", "rts", tolerance=F.lit(20), direction="forward"
+        ).collect()
+    }
+    assert rows[95] == 5.0  # 5 ticks ahead: inside tolerance
+    assert rows[5] is None  # 95 ticks ahead: expired
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: NULL keys match nothing — null-keyed left
+    rows survive with null payload, null-keyed right rows are ignored
+    (a bare window partitionBy would pair them up)."""
+    from osas_spark.functions.asof import asof_join
+
+    l = spark.createDataFrame([(None, 10), (1, 10)], "k long, lts long")
+    r = spark.createDataFrame(
+        [(None, 5, 9.0), (1, 5, 3.0)], "k long, rts long, payload double"
+    )
+    rows = {row["k"]: row["payload"]
+            for row in asof_join(l, r, ["k"], "lts", "rts").collect()}
+    assert rows[1] == 3.0
+    assert rows[None] is None  # NULL = NULL is false
+
+
+def test_asof_reserved_internal_names_raise(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l = spark.createDataFrame([(1, 2, 0)], "k long, lts long, __hit long")
+    _, r = _frames(spark, [], [(1, 1, 1.0)])
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(l, r, ["k"], "lts", "rts")
+
+
+def test_asof_invalid_direction_raises(spark):
+    from osas_spark.functions.asof import asof_join
+
+    l, r = _frames(spark, [(1, 3)], [(1, 1, 1.0)])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, ["k"], "lts", "rts", direction="nearest")
+
+
 def test_asof_payload_collision_raises(spark):
     from osas_spark.functions.asof import asof_join
 

@@ -86,6 +86,30 @@ def test_packing_oversize_sits_alone_and_flagged(spark):
     assert len(mates) == 1
 
 
+def test_packing_state_survives_arrow_batch_boundaries(spark):
+    """A bucket spanning many Arrow batches must pack identically to
+    the sequential replica — the mapInPandas scan carries (bucket,
+    occupancy, pack) across batch boundaries instead of materializing
+    the whole bucket as one pandas frame (the round-3 scale fix)."""
+    from osas_spark.functions.packing import pack_by_budget
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")  # 400 rows / 2 buckets -> ~12 batches each
+    try:
+        df = _docs(spark)
+        rows = [(r["doc_id"], r["tokens"]) for r in df.collect()]
+        got = {
+            r["doc_id"]: r["pack_id"]
+            for r in pack_by_budget(
+                df, "tokens", 150, ["doc_id"], n_buckets=2
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert got == _py_pack(rows, 150, 2)
+
+
 def test_packing_rejects_bad_budget(spark):
     from osas_spark.functions.packing import pack_by_budget
 
