@@ -1,0 +1,57 @@
+"""Generate checked-in golden parquet fixtures for deterministic
+queries whose semantics DuckDB cannot replay (numpy SVD, xxhash64
+minhash signatures, xxhash64 simhash).
+
+A golden is legitimate only when the query is bit-deterministic on the
+fixture: this script runs the query TWICE (fresh DataFrames each time)
+and refuses to write unless the two row multisets are identical. The
+oracle_sql() entry then becomes `SELECT ... FROM read_parquet(golden)`
+— giving the query a full rows+schema+hash CORRECTNESS row while the
+genuinely independent ground truth lives in pytest (recall vs exact
+Jaccard, Arrow-vs-JVM parity).
+
+Usage: python tools/make_goldens.py [sf_dir] query [query ...]
+Writes tests/fixtures/<query>_sf<sf>.parquet (single file, sorted).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:]
+    if not names:
+        print("usage: make_goldens.py [sf_dir] query [query ...]")
+        return 2
+
+    import __spark_entry__ as se
+    from osas_spark.session import get_spark
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark(app_name="make_goldens", master="local[8]",
+                      shuffle_partitions=8)
+    qs = se.queries()
+    for name in names:
+        fn = qs[name]
+        a = fn(spark, sf_dir).toPandas()
+        b = fn(spark, sf_dir).toPandas()
+        cols = sorted(a.columns)
+        sa = a[cols].sort_values(cols).reset_index(drop=True)
+        sb = b[cols].sort_values(cols).reset_index(drop=True)
+        if not sa.equals(sb):
+            print(f"[NONDETERMINISTIC] {name} — refusing to write a golden")
+            return 1
+        path = os.path.join(ROOT, "tests", "fixtures", f"{name}_sf{sf}.parquet")
+        sa.to_parquet(path, index=False)
+        print(f"[GOLDEN] {name}: {len(sa)} rows -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
