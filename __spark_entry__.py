@@ -1092,6 +1092,51 @@ WHERE shared / (sa.sz + sb.sz - shared) >= 0.05
 """
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing >= 50% of an
+    eval item's word 3-grams (osas_spark/functions/decontam.py — the
+    GPT-3-style n-gram collision detector; eval set = every 50th doc,
+    standing in for a leaked benchmark). Oracle: exact shingle
+    intersection replayed in DuckDB SQL."""
+    from osas_spark.functions.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    out = decontaminate(docs, eval_set, n=3, min_overlap=0.5)
+    return out.select(
+        "doc_id", "eval_id", "shared", "eval_sz",
+        F.round("overlap", 4).alias("overlap"),
+    )
+
+
+_DECONTAMINATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
+           AS gram
+  FROM t
+),
+eg AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0),
+keep AS (SELECT gram FROM eg GROUP BY gram HAVING count(*) <= 1000),
+ek AS (SELECT eval_id, gram FROM eg JOIN keep USING (gram)),
+esz AS (SELECT eval_id, count(*) AS eval_sz FROM ek GROUP BY 1),
+sh AS (
+  SELECT g.doc_id, ek.eval_id, count(*) AS shared
+  FROM g JOIN ek USING (gram) GROUP BY 1, 2
+)
+SELECT doc_id, eval_id, CAST(shared AS BIGINT) AS shared,
+       CAST(eval_sz AS BIGINT) AS eval_sz,
+       round(shared / eval_sz, 4) AS overlap
+FROM sh JOIN esz USING (eval_id)
+WHERE shared / eval_sz >= 0.5
+"""
+
+
 # =====================================================================
 # similarity search
 # =====================================================================
@@ -1402,24 +1447,30 @@ FROM r
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline, composed from the engine's own
     operators: quality gate (textfns.quality_features >= 0.75) ->
-    exact dedup keeping the min-id copy per content digest (one
-    shuffle on the digest, groupBy-min + semi-join — content never
-    self-joins) -> deterministic stratified eval cut (10 per lang,
+    eval-set decontamination (drop docs containing >= 80% of an eval
+    item's 3-grams, functions/decontam.py) -> exact dedup keeping the
+    min-id copy per content digest (one shuffle on the digest,
+    groupBy-min + semi-join — content never self-joins) ->
+    deterministic stratified eval cut (10 per lang,
     functions/sampling.py). Each stage is individually oracle-green
-    (text_quality, dedup_exact, sample_stratified); this query proves
-    the COMPOSITION stays exactly reproducible — the DuckDB oracle
-    rebuilds the full three-stage pipeline in SQL."""
+    (text_quality, decontaminate, dedup_exact, sample_stratified);
+    this query proves the COMPOSITION stays exactly reproducible — the
+    DuckDB oracle rebuilds the full four-stage pipeline in SQL."""
+    from osas_spark.functions.decontam import decontaminate, drop_contaminated
     from osas_spark.functions.sampling import stratified_sample
     from osas_spark.functions.textfns import quality_features
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     qf = quality_features(docs, "text").where(F.col("quality_score") >= 0.75)
+    eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    flagged = decontaminate(qf, eval_set, n=3, min_overlap=0.8)
+    clean = drop_contaminated(qf, flagged, "doc_id")
     keep_ids = (
-        qf.groupBy(F.md5("text").alias("__digest"))
+        clean.groupBy(F.md5("text").alias("__digest"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = qf.join(keep_ids, on="doc_id", how="left_semi").select(
+    deduped = clean.join(keep_ids, on="doc_id", how="left_semi").select(
         "doc_id", "lang"
     )
     out = stratified_sample(deduped, ["lang"], k=10, key_cols=["doc_id"], salt="cur")
@@ -1445,8 +1496,44 @@ r AS (
   FROM f
 ),
 kept AS (SELECT doc_id, lang, text FROM r WHERE quality_score >= 0.75),
-keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
-dd AS (SELECT k.doc_id, k.lang FROM kept k JOIN keep_ids USING (doc_id))
+kt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM kept
+),
+kg AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
+           AS gram
+  FROM kt
+),
+et AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE doc_id % 50 = 0
+),
+eg AS (
+  SELECT doc_id AS eval_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, greatest(len(toks) - 2, 1) + 1)]))
+           AS gram
+  FROM et
+),
+ekeep AS (SELECT gram FROM eg GROUP BY gram HAVING count(*) <= 1000),
+ek AS (SELECT eval_id, gram FROM eg JOIN ekeep USING (gram)),
+esz AS (SELECT eval_id, count(*) AS eval_sz FROM ek GROUP BY 1),
+flagged AS (
+  SELECT DISTINCT kg.doc_id
+  FROM kg JOIN ek USING (gram)
+  JOIN esz ON esz.eval_id = ek.eval_id
+  GROUP BY kg.doc_id, ek.eval_id, esz.eval_sz
+  HAVING count(*) / esz.eval_sz >= 0.8
+),
+clean AS (
+  SELECT * FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+keep_ids AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+dd AS (SELECT k.doc_id, k.lang FROM clean k JOIN keep_ids USING (doc_id))
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (
@@ -1953,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "ngram_jaccard": _ngram_jaccard,
+        "decontaminate": _decontaminate,
         "dedup_clusters": _dedup_clusters,
         "sample_split": _sample_split,
         "sample_stratified": _sample_stratified,
@@ -2003,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "sample_split": _build_sample_split_sql(),
         "sample_stratified": _SAMPLE_STRATIFIED_SQL,

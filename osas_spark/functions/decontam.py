@@ -1,0 +1,112 @@
+"""Eval-set decontamination — flag training documents whose word
+n-grams overlap an evaluation/benchmark corpus.
+
+Every serious pretraining pipeline runs this before training: a
+benchmark answer that leaked into the corpus inflates eval scores, so
+docs sharing enough n-grams with any eval item must be dropped. The
+standard detector (GPT-3/PaLM-style) is n-gram collision against the
+eval set.
+
+Scale shape — the eval set is SMALL (thousands of items) and the
+corpus is the 100 TB side, so the plan must never shuffle the corpus
+on anything but the final per-(doc, eval) count:
+
+  1. explode the eval set to (eval_id, gram) rows; drop grams present
+     in more than `max_eval_df` eval items (boilerplate instruction
+     text would otherwise fan every corpus occurrence out to every
+     eval item — the same quadratic stopword trap ngram_jaccard's
+     max_doc_freq bounds); the drop is surfaced via
+     ``metrics["dropped_grams"]``, never silent;
+  2. size-gated broadcast of the eval gram table (the normal case —
+     an eval suite is a few MB of grams; a degenerate huge "eval" set
+     degrades to a shuffle join on the gram, it does not OOM);
+  3. one corpus scan: explode grams, hash-join the broadcast eval
+     grams, and aggregate shared-gram counts per (doc_id, eval_id) —
+     the ONLY corpus-sized shuffle, and it carries ids + a count, not
+     text;
+  4. overlap = shared / |kept grams of the eval item| — the fraction
+     of the eval item's (post-cutoff) n-grams found in the training
+     doc, 1.0 = the eval item is fully contained.
+
+Reference parity: no analogue (the reference has no dedup/decontam at
+all) — training-data-pipeline addition like functions/dedup.py. The
+DuckDB oracle replays the exact shingle intersection in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.functions.dedup import word_grams
+from osas_spark.joins import broadcast_if_small
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    n: int = 3,
+    min_overlap: float = 0.5,
+    max_eval_df: int = 1000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Contamination report: (doc_id, eval_id, shared, eval_sz,
+    overlap) for every corpus doc sharing >= `min_overlap` of an eval
+    item's distinct word n-grams. `eval_sz` counts the eval item's
+    grams AFTER the max_eval_df cutoff so the fraction's numerator and
+    denominator range over the same gram universe (a dropped
+    boilerplate gram neither counts as shared nor inflates the
+    denominator)."""
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    from pyspark import StorageLevel
+
+    # (eval_id, gram), boilerplate grams dropped — persisted because it
+    # feeds both the size aggregate and the corpus join
+    e_all = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(word_grams(eval_text_col, n)).alias("gram"),
+    )
+    df_per_gram = e_all.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("edf")
+    )
+    if metrics is not None:
+        metrics["dropped_grams"] = df_per_gram.where(
+            F.col("edf") > max_eval_df
+        ).select("gram", F.col("edf").alias("df"))
+    kept = e_all.join(
+        df_per_gram.where(F.col("edf") <= max_eval_df).select("gram"), on="gram"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e_sz = kept.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_sz"))
+
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_grams(text_col, n)).alias("gram"),
+    )
+    eb, _ = broadcast_if_small(kept, persist=False)
+    shared = c.join(eb, on="gram").groupBy("doc_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    szb, _ = broadcast_if_small(e_sz, persist=False)
+    out = (
+        shared.join(szb, on="eval_id")
+        .withColumn("overlap", F.col("shared") / F.col("eval_sz"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+    return out.select("doc_id", "eval_id", "shared", "eval_sz", "overlap")
+
+
+def drop_contaminated(
+    corpus: DataFrame, flagged: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus minus every doc flagged by `decontaminate` — a size-gated
+    broadcast LEFT ANTI join on the id (the flagged set is small
+    relative to the corpus; above the gate it degrades to a shuffle
+    anti-join, never a collect)."""
+    ids = flagged.select(F.col("doc_id").alias(id_col)).distinct()
+    ids_b, _ = broadcast_if_small(ids, persist=False)
+    return corpus.join(ids_b, on=id_col, how="left_anti")

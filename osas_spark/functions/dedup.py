@@ -337,6 +337,19 @@ def simhash_near_duplicates(
 
 # ----------------------------------------------------- n-gram Jaccard
 
+def word_grams(text_col: str, n: int) -> F.Column:
+    """array<string> of the DISTINCT word n-grams of a text column:
+    whitespace-tokenized lowercase, n consecutive tokens joined by a
+    single space. Pure column expression (codegen, no UDF) shared by
+    exact n-gram Jaccard and eval-set decontamination; the DuckDB
+    oracles replay it with regexp_split_to_array + list comprehension."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -356,11 +369,7 @@ def ngram_jaccard_pairs(
     ``metrics["dropped_grams"]`` is populated with a lazy DataFrame of
     (gram, df) for every dropped shingle.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    grams = word_grams(text_col, n)
     from pyspark import StorageLevel
 
     # the exploded gram stream feeds two different shuffles (per-doc

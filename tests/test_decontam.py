@@ -1,0 +1,114 @@
+"""Eval-set decontamination vs a pure-Python shingle-set replica."""
+
+import pyspark.sql.functions as F
+
+
+def _grams(text, n):
+    toks = text.lower().strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks[:n])} if toks else {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_decontam(corpus, evals, n, min_overlap, max_eval_df=1000):
+    """{(doc_id, eval_id): overlap} replicated from set algebra."""
+    eg = {eid: _grams(t, n) for eid, t in evals}
+    df: dict = {}
+    for g_set in eg.values():
+        for g in g_set:
+            df[g] = df.get(g, 0) + 1
+    kept = {eid: {g for g in gs if df[g] <= max_eval_df} for eid, gs in eg.items()}
+    out = {}
+    for did, t in corpus:
+        cg = _grams(t, n)
+        for eid, gs in kept.items():
+            if not gs:
+                continue
+            ov = len(cg & gs) / len(gs)
+            if ov >= min_overlap:
+                out[(did, eid)] = ov
+    return out
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "completely unrelated text about spark shuffles and joins"),
+    (3, "the quick brown fox jumps over the lazy dog tonight exactly"),
+    (4, "quick brown fox jumps over nothing else here at all"),
+]
+EVALS = [
+    (100, "the quick brown fox jumps over the lazy dog tonight"),
+    (200, "spark shuffles and joins"),
+]
+
+
+def _dfs(spark):
+    c = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    e = spark.createDataFrame(EVALS, "doc_id long, text string")
+    return c, e
+
+
+def test_decontam_matches_set_replica(spark):
+    from osas_spark.functions.decontam import decontaminate
+
+    c, e = _dfs(spark)
+    got = {
+        (r["doc_id"], r["eval_id"]): r["overlap"]
+        for r in decontaminate(c, e, n=3, min_overlap=0.3).collect()
+    }
+    want = _py_decontam(CORPUS, EVALS, 3, 0.3)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # the fully-contained eval item is a perfect hit on its source doc
+    assert got[(1, 100)] == 1.0
+
+
+def test_decontam_eval_df_cutoff_drops_boilerplate(spark):
+    from osas_spark.functions.decontam import decontaminate
+
+    # every eval item shares the same boilerplate prefix; with
+    # max_eval_df=1 those grams are dropped and only the distinctive
+    # tail can match
+    evals = [
+        (1, "answer the following question carefully alpha beta gamma"),
+        (2, "answer the following question carefully delta epsilon zeta"),
+    ]
+    corpus = [(10, "answer the following question carefully")]
+    c = spark.createDataFrame(corpus, "doc_id long, text string")
+    e = spark.createDataFrame(evals, "doc_id long, text string")
+    metrics: dict = {}
+    out = decontaminate(
+        c, e, n=3, min_overlap=0.01, max_eval_df=1, metrics=metrics
+    )
+    assert out.count() == 0  # boilerplate-only doc matches nothing
+    dropped = {r["gram"] for r in metrics["dropped_grams"].collect()}
+    assert "answer the following" in dropped
+    # replica agrees
+    assert _py_decontam(corpus, evals, 3, 0.01, max_eval_df=1) == {}
+
+
+def test_drop_contaminated_removes_exactly_flagged(spark):
+    from osas_spark.functions.decontam import decontaminate, drop_contaminated
+
+    c, e = _dfs(spark)
+    flagged = decontaminate(c, e, n=3, min_overlap=0.8)
+    clean = drop_contaminated(c, flagged, "doc_id")
+    kept = {r["doc_id"] for r in clean.collect()}
+    bad = {r["doc_id"] for r in flagged.select("doc_id").distinct().collect()}
+    assert kept == {d for d, _ in CORPUS} - bad
+    # docs 1 and 3 contain eval item 100 entirely; doc 2 contains eval
+    # item 200 entirely; only doc 4 (partial 0.375 overlap) survives
+    assert kept == {4}
+
+
+def test_decontam_plan_broadcasts_eval_side(spark):
+    """Scale-shape: the corpus joins a BROADCAST eval-gram table — the
+    corpus-sized shuffle is only the (doc, eval) count aggregation,
+    never a corpus-side repartition for the join."""
+    from osas_spark.functions.decontam import decontaminate
+
+    c, e = _dfs(spark)
+    plan = decontaminate(c, e, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
