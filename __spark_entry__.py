@@ -1001,6 +1001,55 @@ FROM k
 """
 
 
+def _upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture with upsampling-with-replacement: 'en'
+    docs at rate 2.4 (2 copies each + a hash-chosen 40% third copy),
+    the rest at 0.5 Bernoulli (osas_spark/functions/sampling.py).
+    Every copy is a pure per-row function of (doc_id, salt), so the
+    oracle replays EXACT deterministic counts — not a statistical
+    bound."""
+    from osas_spark.functions.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mix_corpora(
+        {
+            "en_up": (docs.where("lang = 'en'"), 2.4),
+            "rest": (docs.where("lang <> 'en'"), 0.5),
+        },
+        key_cols=["doc_id"],
+        salt="r4",
+    )
+    return out.select(
+        "doc_id", "mix_source", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+def _build_upsample_mix_sql() -> str:
+    """Thresholds from the engine's own _hex_threshold — the hex
+    arithmetic exists once (the _build_sample_split_sql pattern)."""
+    from osas_spark.functions.sampling import _hex_threshold
+
+    t_up, t_rest = _hex_threshold(2.4 - 2), _hex_threshold(0.5)
+    return f"""
+SELECT doc_id, mix_source, CAST(copy_idx AS BIGINT) AS copy_idx FROM (
+  SELECT doc_id, 'en_up' AS mix_source,
+         unnest(generate_series(
+           1,
+           2 + CASE WHEN substr(md5(concat_ws('|', 'r4:en_up',
+                                  CAST(doc_id AS VARCHAR))), 1, 8)
+                         < '{t_up}'
+                    THEN 1 ELSE 0 END)) AS copy_idx
+  FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id, 'rest' AS mix_source, 1 AS copy_idx
+  FROM documents
+  WHERE lang <> 'en'
+    AND substr(md5(concat_ws('|', 'r4:rest',
+                   CAST(doc_id AS VARCHAR))), 1, 8) < '{t_rest}'
+)
+"""
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample: 5 docs per
     (lang, source) in hash order, doc_id tiebreak — the reproducible
@@ -2043,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "dedup_clusters": _dedup_clusters,
         "sample_split": _sample_split,
+        "upsample_mix": _upsample_mix,
         "sample_stratified": _sample_stratified,
         "pack_sequences": _pack_sequences,
         "ann_topk": _ann_topk,
@@ -2094,6 +2144,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "sample_split": _build_sample_split_sql(),
+        "upsample_mix": _build_upsample_mix_sql(),
         "sample_stratified": _SAMPLE_STRATIFIED_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,

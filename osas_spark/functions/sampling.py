@@ -121,24 +121,79 @@ def stratified_sample(
     )
 
 
+def upsample_with_replacement(
+    df: DataFrame,
+    rate: float,
+    key_cols: list[str],
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic upsampling: every row is replicated floor(rate)
+    times, plus ONE extra copy iff its hash draw falls below the
+    fractional part — so a rate of 2.3 yields exactly 2 copies for 70%
+    of rows (by hash) and 3 for the other 30%, and the output is a
+    pure per-row function of (content, salt): identical across runs,
+    retries, partitionings. `copy_col` (1-based) distinguishes the
+    replicas so downstream exact-dedup/shuffles don't collapse them.
+
+    The real mixtures this serves upsample small high-quality sources
+    (books, reference code) 2-5x into a large web corpus — the
+    operator round-3 review flagged as missing when rates > 1 were
+    clamped.
+
+    Scale shape: explode(sequence(1, copies)) is NARROW — zero
+    shuffle, output rows = rate x input bounded per-row by ceil(rate);
+    no skew beyond the input's own. Rates < 1 degrade to Bernoulli
+    membership with the SAME threshold as sample_fraction (same salt
+    -> same kept set), so the rate dial is continuous through 1.0 and
+    monotone: raising the rate never drops a row.
+    """
+    if rate < 0:
+        raise ValueError(f"upsample_with_replacement: negative rate {rate}")
+    n_full = int(rate)
+    frac = rate - n_full
+    copies = F.lit(n_full)
+    if frac > 0:
+        key8 = F.substring(sample_key(key_cols, salt), 1, 8)
+        copies = copies + F.when(
+            key8 < F.lit(_hex_threshold(frac)), 1
+        ).otherwise(0)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard empties
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
+
+
 def mix_corpora(
     sources: dict[str, tuple[DataFrame, float]],
     key_cols: list[str],
     salt: str = "",
     source_col: str = "mix_source",
+    copy_col: str = "copy_idx",
 ) -> DataFrame:
     """Weighted corpus mixture: sample each named source at its rate
     and union them with a provenance tag — the "30% code, 60% web,
     10% books" dataset-mixing step, deterministic end to end.
 
-    Rates are per-source Bernoulli fractions (values > 1 are clamped
-    to keep-all; upsampling-with-replacement is a different operator
-    and intentionally NOT hidden behind a rate > 1). The union is
+    Rates <= 1 are Bernoulli downsampling (zero-shuffle scan-side
+    filter, copy_idx constant 1); rates > 1 upsample with replacement
+    via `upsample_with_replacement` (floor copies + hash-threshold
+    fractional copy, replicas numbered in copy_col). The union is
     narrow: no shuffle beyond what each source's filter already is.
     """
     parts = []
     for name, (df, rate) in sources.items():
-        part = sample_fraction(df, min(rate, 1.0), key_cols, salt=f"{salt}:{name}")
+        if rate <= 1.0:
+            # keep the pure-filter shape so the membership predicate
+            # can still push into the scan
+            part = sample_fraction(
+                df, rate, key_cols, salt=f"{salt}:{name}"
+            ).withColumn(copy_col, F.lit(1))
+        else:
+            part = upsample_with_replacement(
+                df, rate, key_cols, salt=f"{salt}:{name}", copy_col=copy_col
+            )
         parts.append(part.withColumn(source_col, F.lit(name)))
     if not parts:
         raise ValueError("mix_corpora: no sources given")

@@ -104,11 +104,55 @@ def test_mix_corpora_rates_and_provenance(spark):
         {"code": (code, 0.2), "web": (web, 1.5)}, key_cols=["doc_id"]
     )
     counts = {r["mix_source"]: r["count"] for r in out.groupBy("mix_source").count().collect()}
-    assert counts["web"] == 1000  # rate > 1 clamps to keep-all
+    # rate > 1 upsamples with replacement: every row once + ~half twice
+    assert 1350 < counts["web"] < 1650
     assert 100 < counts["code"] < 320
-    # per-source salting: the same ids draw independently per source
+    # every web row survives (floor(1.5) >= 1) and replicas are numbered
+    assert out.where("mix_source = 'web'").select("doc_id").distinct().count() == 1000
+    assert out.where("mix_source = 'web' AND copy_idx = 2").count() == counts["web"] - 1000
     with pytest.raises(ValueError, match="no sources"):
         mix_corpora({}, key_cols=["doc_id"])
+
+
+def test_upsample_with_replacement_deterministic_and_exact(spark):
+    import hashlib
+
+    from osas_spark.functions.sampling import upsample_with_replacement
+
+    df = _docs(spark, 500)
+    out = upsample_with_replacement(df, 2.3, ["doc_id"], salt="up")
+    rows = [(r["doc_id"], r["copy_idx"]) for r in out.collect()]
+    # replica of the documented rule from hashlib up
+    want = []
+    thr = f"{int(0.3 * (1 << 32)):08x}"
+    for i in range(500):
+        k = hashlib.md5(f"up|{i}".encode()).hexdigest()[:8]
+        n = 2 + (1 if k < thr else 0)
+        want += [(i, c) for c in range(1, n + 1)]
+    assert sorted(rows) == sorted(want)
+    # determinism across partitionings
+    again = upsample_with_replacement(df.repartition(7), 2.3, ["doc_id"], salt="up")
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in again.collect()) == sorted(want)
+
+
+def test_upsample_rate_below_one_matches_sample_fraction(spark):
+    from osas_spark.functions.sampling import (
+        sample_fraction, upsample_with_replacement,
+    )
+
+    df = _docs(spark, 400)
+    up = {r["doc_id"] for r in
+          upsample_with_replacement(df, 0.35, ["doc_id"], salt="s").collect()}
+    frac = {r["doc_id"] for r in
+            sample_fraction(df, 0.35, ["doc_id"], salt="s").collect()}
+    assert up == frac  # same threshold, same salt -> same kept set
+
+
+def test_upsample_rejects_negative_rate(spark):
+    from osas_spark.functions.sampling import upsample_with_replacement
+
+    with pytest.raises(ValueError, match="negative"):
+        upsample_with_replacement(_docs(spark, 5), -1.0, ["doc_id"])
 
 
 def test_bernoulli_plan_is_pure_filter(spark):
