@@ -1446,6 +1446,52 @@ FROM s
 # text analysis
 # =====================================================================
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition gates: duplicate-line fraction
+    and most-frequent-bigram occupancy, computed ZERO-shuffle via a
+    sorted-gram run-length fold (functions/textfns.py
+    repetition_features — plan-asserted shuffle-free in pytest).
+    Oracle: DuckDB rebuilds the mode count with unnest + two GROUP
+    BYs — an independent formulation of the same statistic."""
+    from osas_spark.functions.textfns import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 4).alias("dup_line_frac"),
+        F.round("top_ngram_frac", 4).alias("top_ngram_frac"),
+        (F.col("top_ngram_frac") > 0.2).alias("repetitive"),
+    )
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS gram
+  FROM l
+),
+counts AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM counts GROUP BY 1),
+dl AS (
+  SELECT doc_id,
+         (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+           AS dup_line_frac
+  FROM l
+)
+SELECT dl.doc_id, round(dup_line_frac, 4) AS dup_line_frac,
+       round(top_c::DOUBLE / total, 4) AS top_ngram_frac,
+       top_c::DOUBLE / total > 0.2 AS repetitive
+FROM dl JOIN top ON dl.doc_id = top.doc_id
+"""
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osas_spark.functions.textfns import quality_features
 
@@ -2039,6 +2085,48 @@ ASOF LEFT JOIN
 """
 
 
+def _asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click annotated with the user's next
+    at-or-after purchase (direction='forward' — the descending-scan
+    mirror of the backward carry-forward, same single shuffle).
+    Oracle: DuckDB native ASOF JOIN with the forward inequality
+    (l.ts <= r.ts picks the smallest right ts >= left ts). Purchase
+    side pre-aggregated per (user_id, ts) so tie resolution is defined
+    identically on both engines."""
+    from osas_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    out = asof_join(
+        clicks, purch, on=["user_id"], left_ts="ts", right_ts="pts",
+        payload_cols=["next_purchase_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("next_purchase_value").isNotNull().alias("matched"),
+        F.coalesce(F.round("next_purchase_value", 4), F.lit(-1.0)).alias(
+            "next_purchase_value"
+        ),
+    )
+
+
+_ASOF_NEXT_PURCHASE_SQL = """
+SELECT l.event_id, l.user_id,
+       r.value IS NOT NULL AS matched,
+       coalesce(round(r.value, 4), -1.0) AS next_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 _SESSIONIZE_SQL = """
 SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
 FROM (
@@ -2101,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_equivalence": _resume_equivalence,
         "multimodal_features": _multimodal_features,
         "text_quality": _text_quality,
+        "text_repetition": _text_repetition,
         "corpus_curation": _corpus_curation,
         "text_perplexity": _text_perplexity,
         "label_combo_nll": _label_combo_nll,
@@ -2115,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _event_windows,
         "sessionize": _sessionize,
         "asof_last_purchase": _asof_last_purchase,
+        "asof_next_purchase": _asof_next_purchase,
     }
 
 
@@ -2152,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_equivalence": _RESUME_EQUIVALENCE_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
+        "text_repetition": _TEXT_REPETITION_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,
         "text_perplexity": _TEXT_PERPLEXITY_SQL,
         "label_combo_nll": _LABEL_COMBO_NLL_SQL,
@@ -2166,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _EVENT_WINDOWS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "asof_last_purchase": _ASOF_LAST_PURCHASE_SQL,
+        "asof_next_purchase": _ASOF_NEXT_PURCHASE_SQL,
         # checked-in goldens (bit-deterministic xxhash64 outputs;
         # generated + determinism-verified by tools/make_goldens.py;
         # independent ground truth lives in the pytest recall/parity

@@ -104,6 +104,63 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals:
+
+      dup_line_frac  — fraction of line OCCURRENCES that repeat an
+                       earlier identical line;
+      top_ngram_frac — fraction of word-n-gram occurrences claimed by
+                       the single most frequent n-gram.
+
+    Both are the standard pretraining quality gates for boilerplate /
+    degenerate-repetition documents (navigation menus, "subscribe
+    now" spam, stuck-token generations).
+
+    Scale shape: ZERO shuffle — the mode count comes from a sorted
+    n-gram array + one run-length fold (F.aggregate with a struct
+    accumulator), entirely scan-side per row. The alternative
+    (explode + two groupBys) shuffles the full gram stream twice; the
+    per-row O(g log g) sort + interpreted fold is the cheaper trade
+    for bounded-length documents, and rows are independent so the
+    operator parallelizes perfectly. (For extreme document lengths the
+    fold cost is bounded by the same doc-length caps the quality gate
+    itself enforces.)
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    dup_line_frac = (
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.size(lines)
+    ).cast("double")
+
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    # NON-distinct grams: occurrences, not the set (word_grams dedups)
+    grams = F.sort_array(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    fold = F.aggregate(
+        grams,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_frac = (fold / F.size(grams)).cast("double")
+    return df.withColumn("dup_line_frac", dup_line_frac).withColumn(
+        "top_ngram_frac", top_frac
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 16, keep: int = 4
 ) -> DataFrame:

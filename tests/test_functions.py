@@ -86,6 +86,42 @@ def test_token_count_and_quality(spark):
     assert q[2]["quality_score"] <= 0.5
 
 
+def test_repetition_features_vs_counter_replica(spark):
+    """Zero-shuffle sorted-run mode count == collections.Counter."""
+    from collections import Counter
+
+    from osas_spark.functions.textfns import repetition_features
+
+    docs = [
+        (1, "buy now buy now buy now buy now stop"),
+        (2, "a perfectly normal sentence with no repeats at all"),
+        (3, "line one\nline two\nline one\nline one"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df, "text").collect()}
+    for did, text in docs:
+        lines = text.split("\n")
+        want_dup = (len(lines) - len(set(lines))) / len(lines)
+        toks = text.lower().strip().split()
+        grams = [" ".join(toks[i:i + 2]) for i in range(max(len(toks) - 1, 1))]
+        want_top = Counter(grams).most_common(1)[0][1] / len(grams)
+        assert abs(got[did]["dup_line_frac"] - want_dup) < 1e-9, did
+        assert abs(got[did]["top_ngram_frac"] - want_top) < 1e-9, did
+    # the spam doc is flagged hard, the normal one isn't
+    assert got[1]["top_ngram_frac"] > 0.4 > got[2]["top_ngram_frac"]
+    assert got[3]["dup_line_frac"] == 0.5
+
+
+def test_repetition_features_plan_zero_shuffle(spark):
+    from osas_spark.functions.textfns import repetition_features
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = repetition_features(df, "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row expressions
+
+
 def test_embedding_near_duplicates(spark):
     import math
     from osas_spark.functions.dedup import embedding_near_duplicates
@@ -165,7 +201,10 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in cosine_topk_ivf(emb, q, k=k, n_cells=16, n_probe=6).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"IVF recall {recall:.2f} below hard bound 0.7"
+    # measured 1.00 on this fixture (sweep over cells/probe/lloyd all
+    # 1.00) — the bound matches the LSH path's 0.9, leaving headroom
+    # for fixture drift, not regressions
+    assert recall >= 0.9, f"IVF recall {recall:.2f} below hard bound 0.9"
     # determinism: same inputs -> identical result set
     again = {(r["query_id"], r["neighbor_id"])
              for r in cosine_topk_ivf(emb, q, k=k, n_cells=16, n_probe=6).collect()}
