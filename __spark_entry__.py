@@ -1206,6 +1206,49 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL random projection 16 -> 8 dims (the ANN
+    dimension-reduction pre-step; functions/similarity.py
+    project_embeddings — Arrow matmul over the same Knuth-hash plane
+    family as sign-LSH, zero shuffle). Oracle: DuckDB replays the
+    integer-hash plane components and the weighted sum exactly;
+    posexploded to (vec_id, dim, value) rows so array equality never
+    depends on engine array formatting."""
+    from osas_spark.functions.similarity import project_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = project_embeddings(emb, out_dim=8)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("p", "v")
+    ).select(
+        "vec_id", F.col("p").cast("long").alias("p"), F.round("v", 4).alias("v")
+    )
+
+
+# plane component: ((p*1000003 + i0) * 2654435761) mod 2^32, mapped to
+# [-1, 1) by /2^31 - 1 — the same arithmetic dedup._plane_matrix and
+# the JVM _plane_component expression define (parity-tested there)
+_EMBEDDING_PROJECTION_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 50
+),
+x AS (
+  SELECT vec_id,
+         unnest(emb) AS v,
+         unnest(range(0, len(emb))) AS i0
+  FROM e
+),
+planes AS (SELECT range AS p FROM range(0, 8))
+SELECT vec_id, CAST(p AS BIGINT) AS p,
+       round(sum(v * ((((p * 1000003 + i0) * 2654435761) % 4294967296)
+                      / 2147483648.0 - 1.0)) / sqrt(8.0), 4) AS v
+FROM x CROSS JOIN planes
+GROUP BY vec_id, p
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 2),
@@ -2181,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "sample_split": _sample_split,
         "upsample_mix": _upsample_mix,
+        "embedding_projection": _embedding_projection,
         "sample_stratified": _sample_stratified,
         "pack_sequences": _pack_sequences,
         "ann_topk": _ann_topk,
@@ -2235,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "sample_split": _build_sample_split_sql(),
         "upsample_mix": _build_upsample_mix_sql(),
+        "embedding_projection": _EMBEDDING_PROJECTION_SQL,
         "sample_stratified": _SAMPLE_STRATIFIED_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,

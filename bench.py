@@ -49,6 +49,8 @@ BIG_HEADLINE = [
     "ngram_jaccard",
     "text_perplexity",
     "dedup_embedding",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 HEADLINE = [
@@ -67,6 +69,11 @@ HEADLINE = [
     "dedup_embedding",     # sign-LSH near-dup with probe_bits multiprobe
     "tpch_q1",             # aggregation engine headline
     "sessionize",          # window/sessionization
+    # round-4 additions (keys are additive — r3-comparable subset above)
+    "decontaminate",       # eval-set n-gram decontamination
+    "pack_sequences",      # token-budget packing (cross-batch mapInPandas)
+    "text_repetition",     # zero-shuffle Gopher repetition gates
+    "asof_last_purchase",  # union+window as-of join
 ]
 
 

@@ -1,10 +1,24 @@
 from osas_spark.functions.textfns import (  # noqa: F401
     token_count, quality_features, lang_id_scores, rolling_fingerprint,
+    repetition_features,
 )
 from osas_spark.functions.dedup import (  # noqa: F401
     exact_duplicates, minhash_signatures, lsh_buckets, minhash_near_duplicates,
-    simhash64, ngram_jaccard_pairs, embedding_near_duplicates,
+    simhash64, ngram_jaccard_pairs, embedding_near_duplicates, word_grams,
 )
 from osas_spark.functions.similarity import (  # noqa: F401
-    cosine_topk_bruteforce, cosine_topk_lsh,
+    cosine_topk_bruteforce, cosine_topk_lsh, cosine_topk_ivf,
+    project_embeddings,
+)
+from osas_spark.functions.decontam import (  # noqa: F401
+    decontaminate, drop_contaminated,
+)
+from osas_spark.functions.sampling import (  # noqa: F401
+    sample_fraction, split_column, stratified_sample, mix_corpora,
+    upsample_with_replacement,
+)
+from osas_spark.functions.asof import asof_join  # noqa: F401
+from osas_spark.functions.packing import pack_by_budget  # noqa: F401
+from osas_spark.functions.graph import (  # noqa: F401
+    connected_components, canonicalize_clusters,
 )

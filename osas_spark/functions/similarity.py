@@ -65,6 +65,60 @@ def cosine_topk_bruteforce(
     )
 
 
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 64,
+    out_col: str = "proj",
+    plane_offset: int = 0,
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to `out_dim` dims — the
+    standard pre-step that makes 768-1536-dim ANN affordable (distance
+    distortion bounded by JL; downstream rerank stays exact on the
+    original vectors).
+
+    The projection matrix is the SAME deterministic (plane, dim-index)
+    Knuth-hash family the sign-LSH paths use (dedup._plane_matrix) —
+    no RNG, no driver-side dimension probe, identical across
+    runs/retries/partitionings, and independent plane sets via
+    `plane_offset` (disjoint from LSH tables by construction when
+    offsets don't overlap). `scale` multiplies by 1/sqrt(out_dim), the
+    JL normalization that keeps expected norms comparable.
+
+    Scale shape: the matrix ships as Arrow-kernel DATA closed over the
+    UDF (O(out_dim x dim) bytes once per executor — the bounded-plan
+    lesson from the IVF quantizer), the op is a narrow per-row matmul,
+    zero shuffle. The DuckDB oracle replays the exact integer-hash
+    plane components in SQL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from osas_spark.functions.dedup import _plane_matrix
+
+    factor = 1.0 / float(np.sqrt(out_dim)) if scale else 1.0
+    mats: dict[int, np.ndarray] = {}
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        arr = vecs.to_numpy()
+        out: list[list[float] | None] = [None] * len(arr)
+        by_dim: dict[int, list[int]] = {}
+        for i, v in enumerate(arr):
+            if v is not None:
+                by_dim.setdefault(len(v), []).append(i)
+        for dim, idxs in by_dim.items():
+            if dim not in mats:
+                mats[dim] = _plane_matrix(dim, out_dim, (plane_offset,))
+            V = np.stack(arr[idxs]).astype(np.float64)
+            P = (V @ mats[dim].T) * factor
+            for i, row in zip(idxs, P):
+                out[i] = [float(x) for x in row]
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
 def _centroid_matrix(centroids: list[list[float]]) -> np.ndarray:
     """(n_cells, dim) matrix of cosine-normalized centroids; a zero
     centroid keeps norm 1.0 so it never wins an argmax by div-by-zero."""

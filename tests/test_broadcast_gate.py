@@ -139,6 +139,59 @@ def test_ngram_scorer_large_model_no_forced_broadcast(spark, no_auto_broadcast):
     assert a == b
 
 
+def test_ann_lsh_query_side_gated(spark, no_auto_broadcast, monkeypatch):
+    """VERDICT r03 #1: the LSH ANN query side (|Q| x tables x probes
+    rows, each carrying the full vector) must degrade to a shuffle join
+    on (tbl, bucket) above the gate — batch ANN cannot OOM the build
+    side — and the result set must be identical on both paths."""
+    import math
+
+    import osas_spark.joins as joins
+    from osas_spark.functions.similarity import cosine_topk_lsh
+
+    rows = [(i, [math.cos(i * 0.3 + d) for d in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 5)
+    res_small = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_lsh(emb, q, k=5, n_planes=4, multiprobe=1).collect()
+    )
+    # force the gate shut: no stats fast path, zero-row exact limit
+    monkeypatch.setattr(joins, "plan_size_bytes", lambda df: None)
+    monkeypatch.setattr(joins, "DEFAULT_BROADCAST_ROW_LIMIT", 0)
+    big = cosine_topk_lsh(emb, q, k=5, n_planes=4, multiprobe=1)
+    assert "BroadcastHashJoin" not in _physical_plan(big)
+    res_big = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in big.collect()
+    )
+    assert res_big == res_small
+
+
+def test_ann_bruteforce_query_side_gated(spark, no_auto_broadcast, monkeypatch):
+    """Same gate on the exact baseline: above the limit the cross join
+    runs un-hinted instead of force-building a huge broadcast."""
+    import math
+
+    import osas_spark.joins as joins
+    from osas_spark.functions.similarity import cosine_topk_bruteforce
+
+    rows = [(i, [math.cos(i * 0.3 + d) for d in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+    res_small = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    )
+    monkeypatch.setattr(joins, "plan_size_bytes", lambda df: None)
+    monkeypatch.setattr(joins, "DEFAULT_BROADCAST_ROW_LIMIT", 0)
+    big = cosine_topk_bruteforce(emb, q, k=5)
+    assert "BroadcastNestedLoopJoin" not in _physical_plan(big)
+    res_big = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in big.collect()
+    )
+    assert res_big == res_small
+
+
 def test_svd_scorer_large_model_no_forced_broadcast(spark, no_auto_broadcast):
     from osas_spark.scoring import SVDReconstructionScorer
 

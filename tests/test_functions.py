@@ -188,6 +188,43 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"ANN recall {recall:.2f} below hard bound 0.9"
 
 
+def test_project_embeddings_matches_numpy_and_preserves_geometry(spark):
+    """JL random projection: exact numpy replica of the deterministic
+    plane matmul, determinism across partitionings, and the geometry
+    property that makes it useful — projected cosines track original
+    cosines on a smooth manifold."""
+    import numpy as np
+
+    from osas_spark.functions.dedup import _plane_matrix
+    from osas_spark.functions.similarity import project_embeddings
+
+    emb = _planted_embeddings(spark, n_base=60, n_planted=0)
+    out = {r["vec_id"]: r["proj"]
+           for r in project_embeddings(emb, out_dim=8).collect()}
+    rows = {r["vec_id"]: np.array(r["embedding"])
+            for r in emb.collect()}
+    M = _plane_matrix(16, 8, (0,))
+    for vid, v in rows.items():
+        want = (v @ M.T) / np.sqrt(8)
+        assert np.allclose(out[vid], want), vid
+    # determinism across partitionings
+    again = {r["vec_id"]: r["proj"]
+             for r in project_embeddings(emb.repartition(7), out_dim=8).collect()}
+    assert all(np.allclose(out[k], again[k]) for k in out)
+    # cosine preservation (coarse JL sanity at 16 -> 8 dims)
+    import math
+    ids = sorted(rows)[:12]
+    orig, prj = [], []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            va, vb = rows[ids[a]], rows[ids[b]]
+            orig.append(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))))
+            pa, pb = np.array(out[ids[a]]), np.array(out[ids[b]])
+            prj.append(float(pa @ pb / (np.linalg.norm(pa) * np.linalg.norm(pb))))
+    corr = float(np.corrcoef(orig, prj)[0, 1])
+    assert corr > 0.8, f"projected cosines decorrelated: r={corr:.2f}"
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF coarse-quantizer ANN: deterministic seeds + one Lloyd step,
     probe-n cells, exact rerank — hard recall bound vs brute force."""
