@@ -732,6 +732,75 @@ FROM c GROUP BY 1
 """
 
 
+def _schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/profile drift between the two halves of the event month:
+    per column, null rate, EXACT distinct count and the inferred
+    semantic class (autoconfig rules), plus type/null-rate/cardinality
+    drift flags (checks/drift.py schema_drift — one fused agg pass per
+    side, O(columns) driver grid). approx=False so the DuckDB oracle
+    replays the distinct counts exactly; at 100 TB the default HLL
+    path replaces countDistinct."""
+    from osas_spark.checks.drift import schema_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    out = schema_drift(
+        ev.where(F.col("ts") < cut),
+        ev.where(F.col("ts") >= cut),
+        cols=["user_id", "event_type", "value", "props"],
+        approx=False,
+    )
+    return out.select(
+        "column", "class_a", "class_b",
+        F.round("null_rate_a", 4).alias("null_rate_a"),
+        F.round("null_rate_b", 4).alias("null_rate_b"),
+        "distinct_a", "distinct_b",
+        "type_drift", "null_rate_drift", "cardinality_drift",
+    )
+
+
+_SCHEMA_DRIFT_SQL = """
+WITH halves AS (
+  SELECT *, ts < TIMESTAMP '2024-01-16' AS is_a FROM events
+),
+p AS (
+  SELECT col, is_a,
+         count(*) AS n,
+         sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+         sum(CASE WHEN v IS NOT NULL AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+                  THEN 1 ELSE 0 END) AS num,
+         count(DISTINCT v) AS d
+  FROM (
+    SELECT is_a, 'user_id' AS col, CAST(user_id AS VARCHAR) AS v FROM halves
+    UNION ALL
+    SELECT is_a, 'event_type', event_type FROM halves
+    UNION ALL
+    SELECT is_a, 'value', CAST(value AS VARCHAR) FROM halves
+    UNION ALL
+    SELECT is_a, 'props', props FROM halves
+  ) GROUP BY 1, 2
+),
+c AS (
+  SELECT col, is_a, n, nn, d,
+         CASE WHEN nn > 0 AND num = nn THEN 'numeric'
+              WHEN nn > 0 AND d::DOUBLE / nn < 0.1 THEN 'multinomial'
+              ELSE 'text' END AS cls,
+         CASE WHEN n > 0 THEN (n - nn)::DOUBLE / n ELSE 0 END AS null_rate
+  FROM p
+)
+SELECT a.col AS "column", a.cls AS class_a, b.cls AS class_b,
+       round(a.null_rate, 4) AS null_rate_a,
+       round(b.null_rate, 4) AS null_rate_b,
+       CAST(a.d AS BIGINT) AS distinct_a, CAST(b.d AS BIGINT) AS distinct_b,
+       a.cls <> b.cls AS type_drift,
+       abs(a.null_rate - b.null_rate) > 0.05 AS null_rate_drift,
+       greatest(a.d, b.d)::DOUBLE / greatest(least(a.d, b.d), 1)
+         > 2.0 AS cardinality_drift
+FROM (SELECT * FROM c WHERE is_a) a
+JOIN (SELECT * FROM c WHERE NOT is_a) b ON a.col = b.col
+"""
+
+
 def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of o_totalprice per order-status
     partition vs rest (fixed 10-bin grid, eps=1e-6 floor)."""
@@ -2214,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2_median": _drift_chi2_median,
         "drift_ks": _drift_ks,
         "drift_psi": _drift_psi,
+        "schema_drift": _schema_drift,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -2272,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2_median": _DRIFT_CHI2_MEDIAN_SQL,
         "drift_ks": _DRIFT_KS_SQL,
         "drift_psi": _DRIFT_PSI_SQL,
+        "schema_drift": _SCHEMA_DRIFT_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

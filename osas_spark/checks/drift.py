@@ -270,6 +270,89 @@ def numeric_drift_psi(
     return out.withColumn("drifted", F.col("psi") > threshold)
 
 
+def schema_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str] | None = None,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_factor: float = 2.0,
+    approx: bool = True,
+) -> DataFrame:
+    """Schema/profile drift between two snapshots: per column, compare
+    null rate, distinct count and the inferred semantic class (the
+    autoconfig rules — numeric if every non-null value casts, else
+    multinomial if distinct/non-null < 0.1, else text) and flag
+
+      type_drift         — inferred class changed (a column silently
+                           turning from numeric to text is the classic
+                           upstream-schema break),
+      null_rate_drift    — |null_rate_a - null_rate_b| > tol,
+      cardinality_drift  — distinct counts differ by more than
+                           `distinct_ratio_factor` x.
+
+    Scale shape: ONE fused aggregation pass per side (all columns'
+    null/castability/distinct aggregates in a single df.agg — the same
+    one-scan profile as autoconfig.infer_column_types), then an
+    O(columns) driver grid — the bounded-collect class every drift
+    statistic here uses; raw rows never collect. `approx=True` (the
+    100 TB default) uses HLL distinct; the driver oracle query runs
+    approx=False so DuckDB replays the counts exactly.
+
+    Returns one row per column (not only drifted ones) so downstream
+    alerting sees the full comparison: (column, class_a, class_b,
+    null_rate_a/b, distinct_a/b, the three flags).
+    """
+    cols = cols or [c for c in df_a.columns if c in set(df_b.columns)]
+
+    def _profile(df: DataFrame) -> dict[str, tuple]:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            v = F.col(c)
+            aggs += [
+                F.sum(v.isNotNull().cast("long")).alias(f"{c}__nn"),
+                F.sum(
+                    (v.isNotNull() & v.try_cast("double").isNotNull()).cast("long")
+                ).alias(f"{c}__num"),
+                (F.approx_count_distinct(c) if approx else F.countDistinct(c))
+                .alias(f"{c}__d"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        out = {}
+        for c in cols:
+            n = row["__n"]
+            nn, num, d = row[f"{c}__nn"], row[f"{c}__num"], row[f"{c}__d"]
+            if nn > 0 and num == nn:
+                cls = "numeric"
+            elif nn > 0 and d / nn < 0.1:
+                cls = "multinomial"
+            else:
+                cls = "text"
+            null_rate = (n - nn) / n if n else 0.0
+            out[c] = (cls, float(null_rate), int(d))
+        return out
+
+    pa, pb = _profile(df_a), _profile(df_b)
+    rows = []
+    for c in cols:
+        cls_a, nr_a, d_a = pa[c]
+        cls_b, nr_b, d_b = pb[c]
+        ratio = (max(d_a, d_b) / max(min(d_a, d_b), 1)) if (d_a or d_b) else 1.0
+        rows.append((
+            c, cls_a, cls_b, nr_a, nr_b, d_a, d_b,
+            cls_a != cls_b,
+            abs(nr_a - nr_b) > null_rate_tol,
+            ratio > distinct_ratio_factor,
+        ))
+    return df_a.sparkSession.createDataFrame(
+        rows,
+        "column string, class_a string, class_b string, "
+        "null_rate_a double, null_rate_b double, "
+        "distinct_a long, distinct_b long, "
+        "type_drift boolean, null_rate_drift boolean, "
+        "cardinality_drift boolean",
+    )
+
+
 class DriftCheck(Check):
     """Suite-pluggable drift check over one categorical and/or one
     numeric column, partitioned by `part_col` (e.g. commit).

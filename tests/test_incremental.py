@@ -98,6 +98,50 @@ def test_numeric_drift_psi(spark, code_files):
     assert psi["c000005"] > 0.1
 
 
+def test_schema_drift_flags_engineered_breaks(spark):
+    """Type, null-rate and cardinality drift each fire on a crafted
+    break and stay quiet on stable columns."""
+    from osas_spark.checks.drift import schema_drift
+
+    a = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("num_col"),      # all castable
+        F.pmod("id", F.lit(5)).cast("string").alias("cat"),
+        F.when(F.pmod("id", F.lit(10)) < 1, None)
+        .otherwise(F.lit("x")).alias("nullish"),          # 10% null
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("k"),
+        # type break: 1 non-numeric value flips numeric -> multinomial
+        F.when(F.col("id") == 0, "oops")
+        .otherwise(F.col("id").cast("string")).alias("num_col"),
+        # cardinality break: 5 -> 100 distinct
+        F.pmod("id", F.lit(100)).cast("string").alias("cat"),
+        # null break: 40% null
+        F.when(F.pmod("id", F.lit(10)) < 4, None)
+        .otherwise(F.lit("x")).alias("nullish"),
+    )
+    out = {r["column"]: r for r in schema_drift(
+        a, b, cols=["k", "num_col", "cat", "nullish"], approx=False
+    ).collect()}
+    assert len(out) == 4  # full comparison, not only drifted rows
+    assert not any([out["k"]["type_drift"], out["k"]["null_rate_drift"],
+                    out["k"]["cardinality_drift"]])
+    assert out["num_col"]["type_drift"]
+    assert out["num_col"]["class_a"] == "numeric"
+    assert out["cat"]["cardinality_drift"]
+    assert (out["cat"]["distinct_a"], out["cat"]["distinct_b"]) == (5, 100)
+    assert out["nullish"]["null_rate_drift"]
+    assert abs(out["nullish"]["null_rate_a"] - 0.1) < 1e-9
+    # approx path (the 100 TB default) agrees on every flag here
+    approx = {r["column"]: r for r in schema_drift(
+        a, b, cols=["k", "num_col", "cat", "nullish"]
+    ).collect()}
+    for c in out:
+        for f in ("type_drift", "null_rate_drift", "cardinality_drift"):
+            assert approx[c][f] == out[c][f], (c, f)
+
+
 def test_median_baseline_survives_dominant_drifted_partition(spark):
     """VERDICT r01 #8 / SCALE.md documented limit: under leave-one-out,
     a DOMINANT drifted partition poisons every healthy partition's
