@@ -909,6 +909,26 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy overlap: minhash-LSH join of the even-id half
+    of documents (the "existing training set") against the odd-id half
+    (the "fresh crawl") — functions/dedup.py minhash_join, the fuzzy
+    tier of decontamination. Deterministic xxhash64 output -> golden
+    oracle (tools/make_goldens.py); cross-corpus ground truth is the
+    exact-Jaccard recall pytest (test_minhash_join_cross_corpus...)."""
+    from osas_spark.functions.dedup import minhash_join
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    right = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    out = minhash_join(
+        left, right, "doc_id", "text", n_hashes=32, bands=8, threshold=0.35
+    )
+    return out.select(
+        "id_l", "id_r", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH buckets, over the
     fixture PLUS 10 planted near-duplicates (vec * 1.001, id + 10^6) —
@@ -2288,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "minhash_overlap": _minhash_overlap,
         "dedup_embedding": _dedup_embedding,
         "ngram_jaccard": _ngram_jaccard,
         "decontaminate": _decontaminate,
@@ -2380,6 +2401,7 @@ def oracle_sql() -> dict[str, str]:
         # bounds): full rows+schema+hash CORRECTNESS rows.
         "dedup_minhash": _golden_sql("dedup_minhash"),
         "dedup_simhash": _golden_sql("dedup_simhash"),
+        "minhash_overlap": _golden_sql("minhash_overlap"),
         # ann_lsh / ann_ivf: recall-bounded approximate paths —
         # intentionally rows-only (output depends on probe luck, the
         # pytest recall >= 0.9 bounds are the ground truth).

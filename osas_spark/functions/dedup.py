@@ -211,6 +211,87 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Cross-corpus fuzzy join: (id_l, id_r, est_jaccard) for every
+    left/right document pair whose estimated Jaccard reaches the
+    threshold — the overlap measurement between a fresh crawl and the
+    existing training set, or the fuzzy tier of decontamination
+    (decontam.decontaminate is the exact-shingle tier).
+
+    Same banded-LSH machinery as minhash_near_duplicates, but the
+    bucket join is LEFT vs RIGHT — no self-join, no id ordering, and
+    ids can collide across corpora without aliasing (the output keeps
+    the sides separate). Candidate work per (band, bucket) is
+    |L_bucket| x |R_bucket|; buckets where EITHER side exceeds
+    `max_bucket` are dropped (boilerplate shared by both corpora would
+    otherwise go quadratic) and surfaced via
+    ``metrics['dropped_buckets']`` with per-side sizes.
+    """
+    from pyspark import StorageLevel
+
+    def _prep(df: DataFrame):
+        sigs = minhash_signatures(
+            df.select(id_col, text_col), text_col, n_hashes, shingle_k
+        ).select(id_col, "minhash").persist(StorageLevel.MEMORY_AND_DISK)
+        b = lsh_buckets(sigs, bands=bands, n_hashes=n_hashes).select(
+            id_col, "band", "bucket"
+        )
+        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+        return sigs, b, sizes
+
+    sig_l, bkt_l, sz_l = _prep(left)
+    sig_r, bkt_r, sz_r = _prep(right)
+    sz = (
+        sz_l.withColumnRenamed("bs", "bs_l")
+        .join(sz_r.withColumnRenamed("bs", "bs_r"), on=["band", "bucket"])
+    )
+    if metrics is not None:
+        metrics["dropped_buckets"] = sz.where(
+            (F.col("bs_l") > max_bucket) | (F.col("bs_r") > max_bucket)
+        )
+    ok = sz.where(
+        (F.col("bs_l") <= max_bucket) & (F.col("bs_r") <= max_bucket)
+    ).select("band", "bucket")
+
+    # ids-only candidate stream (signatures re-attach after dedup)
+    a = bkt_l.join(ok, on=["band", "bucket"]).select(
+        "band", "bucket", F.col(id_col).alias("id_l")
+    )
+    b = bkt_r.join(ok, on=["band", "bucket"]).select(
+        "band", "bucket", F.col(id_col).alias("id_r")
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    pairs = pairs.join(
+        sig_l.withColumnsRenamed({id_col: "id_l", "minhash": "sig_l"}), on="id_l"
+    ).join(
+        sig_r.withColumnsRenamed({id_col: "id_r", "minhash": "sig_r"}), on="id_r"
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_l", "sig_r", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_l")
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_l", "id_r", "est_jaccard")
+    )
+
+
 # ------------------------------------------------------------- simhash
 
 def _token_hashes(text_col: str) -> F.Column:

@@ -502,6 +502,56 @@ def test_minhash_recall_precision_vs_exact_jaccard(spark):
         assert p in truth, f"minhash reported pair {p} with true J < 0.25"
 
 
+def test_minhash_join_cross_corpus_recall_vs_exact_jaccard(spark):
+    """Cross-corpus fuzzy join ground truth: split the planted corpus
+    into base (left) and dup (right) halves — every planted near-dup
+    link crosses the corpora. Recall >= 0.9 on true-J >= 0.7 links;
+    every reported link genuinely similar (true J >= 0.25)."""
+    from osas_spark.functions.dedup import minhash_join
+
+    df, texts = _dup_corpus(spark)
+    left = df.where(F.col("doc_id") < 10_000)
+    right = df.where(F.col("doc_id") >= 10_000)
+    truth = {}
+    for a in sorted(t for t in texts if t < 10_000):
+        for b in sorted(t for t in texts if t >= 10_000):
+            j = _char5_jaccard(texts[a], texts[b])
+            if j >= 0.25:
+                truth[(a, b)] = j
+    strong = {p for p, j in truth.items() if j >= 0.7}
+    assert len(strong) >= 10
+
+    found = {(r["id_l"], r["id_r"])
+             for r in minhash_join(
+                 left, right, "doc_id", "text", n_hashes=32, bands=8,
+                 threshold=0.5,
+             ).collect()}
+    recall = len(strong & found) / len(strong)
+    assert recall >= 0.9, f"cross-corpus recall {recall:.2f}"
+    for p in found:
+        assert p in truth, f"reported link {p} with true J < 0.25"
+
+
+def test_minhash_join_bucket_cap_surfaces_both_sides(spark):
+    """A boilerplate bucket shared by both corpora is dropped (either
+    side over the cap) and surfaced with per-side sizes."""
+    from osas_spark.functions.dedup import minhash_join
+
+    boiler = "identical boilerplate header text repeated verbatim forever more"
+    left = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    metrics: dict = {}
+    out = minhash_join(left, right, "doc_id", "text", max_bucket=16,
+                       metrics=metrics)
+    assert out.count() == 0
+    dropped = metrics["dropped_buckets"].collect()
+    assert dropped and all(r["bs_l"] == 30 and r["bs_r"] == 30 for r in dropped)
+
+
 def test_simhash_banding_exact_within_hamming3(spark):
     """For max_hamming=3 the 4x16-bit banding is EXHAUSTIVE (pigeonhole:
     <=3 flipped bits leave one chunk intact), so the pipeline's pair
