@@ -83,7 +83,17 @@ def pack_by_budget(
     b = F.pmod(
         F.conv(F.substring(key, 1, 4), 16, 10).cast("long"), F.lit(n_buckets)
     ).alias("__bkt")
-    tok = F.least(F.col(token_col).cast("long"), F.lit(budget)).alias("__tok")
+    # a NULL token count must fail LOUDLY at scan time: silently packing
+    # it as 0 would hide an upstream tokenizer bug, and letting it reach
+    # the numpy int64 conversion fails the task with a cryptic cast error
+    checked = F.when(
+        F.col(token_col).isNull(),
+        F.raise_error(F.lit(
+            f"pack_by_budget: NULL in token column {token_col!r} — fill "
+            f"or filter null token counts upstream"
+        )).cast("long"),
+    ).otherwise(F.col(token_col).cast("long"))
+    tok = F.least(checked, F.lit(budget)).alias("__tok")
     oversize = (F.col(token_col) > budget).alias("oversize")
     staged = df.select("*", oversize, b, tok, key.alias("__key"))
     # hash-partition on the bucket id (all rows of a bucket land in one

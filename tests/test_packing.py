@@ -110,6 +110,18 @@ def test_packing_state_survives_arrow_batch_boundaries(spark):
     assert got == _py_pack(rows, 150, 2)
 
 
+def test_packing_null_token_count_fails_loudly(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    from osas_spark.functions.packing import pack_by_budget
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, 60)], "doc_id long, tokens long"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL in token column"):
+        pack_by_budget(df, "tokens", 100, ["doc_id"], n_buckets=1).collect()
+
+
 def test_packing_rejects_bad_budget(spark):
     from osas_spark.functions.packing import pack_by_budget
 
