@@ -732,6 +732,41 @@ FROM c GROUP BY 1
 """
 
 
+def _robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier bands over event values per
+    event_type (checks/numeric.py robust_outliers — two exact-median
+    aggregations + size-gated model joins; the robust complement to
+    stdev_bands that a single huge corruption cannot blind). Oracle:
+    DuckDB median() replays both passes exactly."""
+    from osas_spark.checks.numeric import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_outliers(ev, "value", group_by=["event_type"], k=3.5)
+    return out.select(
+        "event_id", "event_type",
+        F.round("robust_z", 4).alias("robust_z"), "is_outlier",
+    )
+
+
+_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_id, e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(dev) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_id, d.event_type,
+       round(dev / greatest(mad * 1.4826, 1e-9), 4) AS robust_z,
+       dev / greatest(mad * 1.4826, 1e-9) > 3.5 AS is_outlier
+FROM d JOIN mad USING (event_type)
+"""
+
+
 def _schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema/profile drift between the two halves of the event month:
     per column, null rate, EXACT distinct count and the inferred
@@ -2304,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": _drift_ks,
         "drift_psi": _drift_psi,
         "schema_drift": _schema_drift,
+        "robust_outliers": _robust_outliers,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -2364,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks": _DRIFT_KS_SQL,
         "drift_psi": _DRIFT_PSI_SQL,
         "schema_drift": _SCHEMA_DRIFT_SQL,
+        "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

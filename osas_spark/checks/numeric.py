@@ -272,3 +272,52 @@ class NumericCheck(Check):
         if self._global:
             d["global"] = list(self._global)
         return d
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    k: float = 3.5,
+    scale: float = 1.4826,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Median/MAD robust outlier bands — the robust complement to
+    NumericCheck's mean/stdev bands: robust_z = |x - median| /
+    (scale * MAD), flagged when > k. A single 10^9-sized corruption
+    inflates a stdev model until NOTHING flags; it moves the median by
+    one rank, so the MAD model keeps flagging. scale=1.4826 makes MAD
+    consistent with sigma under normality (the standard constant), so
+    k compares directly with a z-score threshold.
+
+    Scale shape: two grouped EXACT-median aggregations (Spark's
+    `median` — one shuffle each on the group key, the model tables are
+    O(groups) rows) joined back behind the same size gate every model
+    join here uses; ungrouped mode is a 1-row broadcast cross join.
+    Zero-MAD groups (>=50% identical values, e.g. constant columns)
+    get the eps floor so only true deviants flag — the robust analogue
+    of the sigma floor. Returns df + robust_z + is_outlier.
+    """
+    from osas_spark.joins import broadcast_if_small
+
+    g = list(group_by or [])
+    v = F.col(value_col)
+    med_tbl = df.groupBy(*g).agg(F.median(v).alias("__med"))
+    if g:
+        med_tbl, _ = broadcast_if_small(med_tbl, persist=False)
+        with_med = df.join(med_tbl, on=g, how="left")
+    else:
+        with_med = df.crossJoin(F.broadcast(med_tbl))
+    dev = F.abs(v - F.col("__med"))
+    mad_tbl = with_med.groupBy(*g).agg(F.median(dev).alias("__mad"))
+    if g:
+        mad_tbl, _ = broadcast_if_small(mad_tbl, persist=False)
+        out = with_med.join(mad_tbl, on=g, how="left")
+    else:
+        out = with_med.crossJoin(F.broadcast(mad_tbl))
+    z = dev / F.greatest(F.col("__mad") * F.lit(scale), F.lit(eps))
+    return (
+        out.withColumn("robust_z", z)
+        .withColumn("is_outlier", F.coalesce(z > k, F.lit(False)))
+        .drop("__med", "__mad")
+    )

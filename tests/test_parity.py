@@ -164,3 +164,46 @@ def test_population_vs_sample_variance(spark):
     n, mean, std = global_numeric_stats(df, "x")
     assert n == 4 and mean == 2.5
     assert math.isclose(std, math.sqrt(1.25), rel_tol=1e-12)  # pop, not 1.667
+
+
+def test_robust_outliers_vs_statistics_replica(spark):
+    """MAD bands vs a pure-Python statistics.median replica, and the
+    robustness property itself: one huge corruption that drags the
+    stdev model blind is still flagged by the median/MAD model."""
+    import statistics
+
+    import pyspark.sql.functions as F
+    from osas_spark.checks.numeric import robust_outliers
+
+    vals = {"a": [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 1e9],
+            "b": [5.0, 5.0, 5.0, 5.0, 120.0]}
+    rows = [(grp, i, x) for grp, xs in vals.items() for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, i long, x double")
+    got = {(r["g"], r["i"]): r for r in
+           robust_outliers(df, "x", group_by=["g"]).collect()}
+    for grp, xs in vals.items():
+        med = statistics.median(xs)
+        mad = statistics.median(abs(x - med) for x in xs)
+        for i, x in enumerate(xs):
+            want_z = abs(x - med) / max(mad * 1.4826, 1e-9)
+            assert abs(got[(grp, i)]["robust_z"] - want_z) < 1e-6, (grp, i)
+            assert got[(grp, i)]["is_outlier"] == (want_z > 3.5), (grp, i)
+    # the 1e9 corruption IS flagged (a stdev model would set sigma ~ 3.5e8
+    # and flag nothing else; median/MAD barely moves)
+    assert got[("a", 6)]["is_outlier"]
+    assert not any(got[("a", i)]["is_outlier"] for i in range(6))
+    # zero-MAD group: only the true deviant flags
+    assert got[("b", 4)]["is_outlier"]
+    assert not got[("b", 0)]["is_outlier"]
+
+
+def test_robust_outliers_global_mode(spark):
+    import pyspark.sql.functions as F
+    from osas_spark.checks.numeric import robust_outliers
+
+    df = spark.range(101).select(F.col("id").cast("double").alias("x"))
+    out = robust_outliers(df.withColumn("x",
+                          F.when(F.col("x") == 100, 1e6).otherwise(F.col("x"))),
+                          "x")
+    flagged = [r["x"] for r in out.where("is_outlier").collect()]
+    assert flagged == [1e6]
