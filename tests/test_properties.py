@@ -1,0 +1,83 @@
+"""Property-based invariants (hypothesis) for the deterministic
+operators whose guarantees are universally quantified — "for ANY
+fraction/salt/budget", not just the fixture values the example tests
+pin. Spark jobs are slow, so examples are capped tightly and the data
+frame is built once per test, with hypothesis varying only the cheap
+parameters.
+"""
+
+import pytest
+
+pytest.importorskip("hypothesis")
+
+import pyspark.sql.functions as F  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(300).select(F.col("id").alias("doc_id")).persist()
+
+
+@given(fraction=st.floats(min_value=0.0, max_value=1.0),
+       salt=st.text(alphabet="abcxyz", max_size=6))
+@settings(**_SETTINGS)
+def test_sample_fraction_membership_is_pure_function(spark, ids_df, fraction, salt):
+    """For ANY fraction and salt: membership is identical across
+    partitionings (no RNG), and monotone in the fraction (a kept row
+    stays kept when the fraction grows)."""
+    from osas_spark.functions.sampling import sample_fraction
+
+    a = {r["doc_id"] for r in
+         sample_fraction(ids_df, fraction, ["doc_id"], salt).collect()}
+    b = {r["doc_id"] for r in
+         sample_fraction(ids_df.repartition(7), fraction, ["doc_id"], salt).collect()}
+    assert a == b
+    grown = {r["doc_id"] for r in sample_fraction(
+        ids_df, min(fraction + 0.25, 1.0), ["doc_id"], salt).collect()}
+    assert a <= grown
+
+
+@given(rate=st.floats(min_value=0.0, max_value=4.0))
+@settings(**_SETTINGS)
+def test_upsample_copy_counts_bounded_and_exact(spark, ids_df, rate):
+    """For ANY rate in [0, 4]: every row appears floor(rate) or
+    floor(rate)+1 times, and total output is within the fractional
+    band n*floor(rate) <= total <= n*ceil(rate)."""
+    import math
+
+    from osas_spark.functions.sampling import upsample_with_replacement
+
+    out = upsample_with_replacement(ids_df, rate, ["doc_id"], salt="p")
+    counts = {r["doc_id"]: r["n"] for r in
+              out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    lo, hi = math.floor(rate), math.ceil(rate)
+    assert all(c in (lo, hi) or (lo == hi and c == lo) for c in counts.values())
+    total = sum(counts.values())
+    assert 300 * lo <= total <= 300 * hi
+
+
+@given(budget=st.integers(min_value=1, max_value=500),
+       n_buckets=st.integers(min_value=1, max_value=16))
+@settings(**_SETTINGS)
+def test_packing_budget_never_exceeded(spark, ids_df, budget, n_buckets):
+    """For ANY budget and bucket count: no pack of non-oversize rows
+    exceeds the budget, and every row lands in exactly one pack."""
+    from osas_spark.functions.packing import pack_by_budget
+
+    df = ids_df.withColumn("tokens", F.pmod(F.col("doc_id") * 37, F.lit(97)) + 1)
+    out = pack_by_budget(df, "tokens", budget, ["doc_id"], n_buckets=n_buckets)
+    assert out.count() == 300
+    bad = (
+        out.where(~F.col("oversize"))
+        .groupBy("pack_id").agg(F.sum("tokens").alias("s"))
+        .where(F.col("s") > budget)
+    )
+    assert bad.count() == 0
