@@ -95,6 +95,43 @@ def windowed_verdicts(
     )
 
 
+def curate_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    min_quality: float = 0.75,
+    max_top_ngram_frac: float = 0.5,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """CONTINUOUS corpus curation — the streaming form of the batch
+    corpus_curation pipeline: quality gate -> repetition gate ->
+    watermarked exact dedup, composed from the same operators.
+
+    Both gates are stateless per-row column expressions
+    (textfns.quality_features / repetition_features — no aggregation,
+    so they stream unchanged); the only state is the dedup digest set,
+    bounded by the watermark horizon. Ordering matters for state size:
+    gating BEFORE dedup means rejected boilerplate never enters the
+    digest state store.
+
+    Decontamination and stratified sampling stay batch-side by design:
+    the eval-gram broadcast join is stream-compatible in principle
+    (stream-static join) but eval sets change rarely, and exact
+    k-per-stratum needs a global rank no stream can provide.
+    """
+    from osas_spark.functions.textfns import quality_features, repetition_features
+
+    assert stream_df.isStreaming
+    gated = (
+        repetition_features(quality_features(stream_df, text_col), text_col)
+        .where(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("top_ngram_frac") <= max_top_ngram_frac)
+        )
+    )
+    return dedup_stream(gated, text_col, ts_col, delay=delay)
+
+
 # ------------------------------------------------- custom stateful op
 
 _STATE_SCHEMA = StructType([

@@ -94,3 +94,46 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
         .select("digest").distinct().collect()
     }
     assert {r["digest"] for r in got.collect()} == batch
+
+
+def test_curate_stream_equals_batch_curation(spark, tmp_path):
+    """Streaming curation (quality gate -> repetition gate -> dedup) on
+    a finite source equals the batch composition of the same stages."""
+    from osas_spark.functions.textfns import quality_features, repetition_features
+    from osas_spark.streaming import curate_stream
+
+    good = "a perfectly reasonable training document with varied words here"
+    spam = "buy now buy now buy now buy now buy now buy now buy now"
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod("id", F.lit(4)) == 0, spam)
+        .otherwise(F.concat(F.lit(good + " v"), F.pmod("id", F.lit(20))))
+        .alias("text"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    src = str(tmp_path / "csrc")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        curate_stream(stream, "text", "ts")
+        .writeStream.format("memory").queryName("cstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["digest"] for r in spark.sql("select digest from cstream").collect()}
+
+    batch = (
+        repetition_features(quality_features(df, "text"), "text")
+        .where("quality_score >= 0.75 and top_ngram_frac <= 0.5")
+        .withColumn("digest", F.md5("text"))
+    )
+    want = {r["digest"] for r in batch.select("digest").distinct().collect()}
+    assert got == want
+    # 15 distinct good variants survive: v = id%20 and spam = id%4==0
+    # alias (20 ≡ 0 mod 4), so variants v ∈ {0,4,8,12,16} are all spam
+    assert len(got) == 15
+    # the spam variant never reached the state store or the output
+    spam_digest = spark.sql(
+        f"select md5('{spam}') d").first()["d"]
+    assert spam_digest not in got
