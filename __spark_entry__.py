@@ -1807,6 +1807,74 @@ SELECT doc_id, lang FROM (
 """
 
 
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card — the per-slice summary every corpus build
+    publishes: per (predicted language, source), doc count, total
+    whitespace tokens, mean quality score, and share of docs passing
+    the quality gate. Composes lang_id_scores + quality_features +
+    token_count into ONE aggregation (one scan, one shuffle on the
+    slice key). Oracle: full SQL rebuild of all three feature families
+    plus the rollup."""
+    from osas_spark.functions.textfns import lang_id_scores, quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feat = lang_id_scores(quality_features(docs, "text"), "text")
+    return (
+        feat.groupBy("lang_pred", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+            F.round(
+                F.avg((F.col("quality_score") >= 0.75).cast("double")), 4
+            ).alias("pass_rate"),
+        )
+    )
+
+
+def _build_corpus_report_sql() -> str:
+    from osas_spark.functions.textfns import STOPWORDS
+
+    hits = ",\n         ".join(
+        _lang_hits_sql(lg, STOPWORDS[lg]) for lg in sorted(STOPWORDS)
+    )
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    pred = "CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und' "
+    for lg in langs_desc:
+        pred += (
+            f"WHEN hits_{lg} = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) "
+            f"THEN '{lg}' "
+        )
+    pred += "END"
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         {hits}
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, ws_tokens,
+         (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) < 0.3 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END) > 0.5 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN ws_tokens > 0 THEN n_chars::DOUBLE / ws_tokens ELSE 0 END) BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+           AS quality_score,
+         {pred} AS lang_pred
+  FROM f
+)
+SELECT lang_pred, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality_score), 4) AS mean_quality,
+       round(avg(CASE WHEN quality_score >= 0.75 THEN 1.0 ELSE 0.0 END), 4)
+         AS pass_rate
+FROM r GROUP BY 1, 2
+"""
+
+
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osas_spark.functions.textfns import lang_id_scores
 
@@ -2361,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "text_quality": _text_quality,
         "text_repetition": _text_repetition,
+        "corpus_report": _corpus_report,
         "corpus_curation": _corpus_curation,
         "text_perplexity": _text_perplexity,
         "label_combo_nll": _label_combo_nll,
@@ -2417,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_repetition": _TEXT_REPETITION_SQL,
+        "corpus_report": _build_corpus_report_sql(),
         "corpus_curation": _CORPUS_CURATION_SQL,
         "text_perplexity": _TEXT_PERPLEXITY_SQL,
         "label_combo_nll": _LABEL_COMBO_NLL_SQL,
