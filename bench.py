@@ -74,6 +74,8 @@ HEADLINE = [
     "pack_sequences",      # token-budget packing (cross-batch mapInPandas)
     "text_repetition",     # zero-shuffle Gopher repetition gates
     "asof_last_purchase",  # union+window as-of join
+    "secret_scan",         # zero-shuffle credential findings stream
+    "snapshot_file_delta", # commit-snapshot membership diff
 ]
 
 

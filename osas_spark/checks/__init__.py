@@ -7,3 +7,5 @@ from osas_spark.checks.rules import RuleCheck, KeywordCheck, RegexLabelCheck  # 
 from osas_spark.checks.drift import DriftCheck  # noqa: F401
 from osas_spark.checks.text import TextCheck  # noqa: F401
 from osas_spark.checks.inference import InferenceCheck, GroupedTrainingSlot  # noqa: F401
+from osas_spark.checks.secrets import SecretsCheck  # noqa: F401
+from osas_spark.checks.delta import snapshot_delta, delta_summary  # noqa: F401

@@ -1,0 +1,82 @@
+"""Snapshot file-delta: added / deleted / modified between two
+commit-partitioned snapshots of the same table.
+
+The north rule's drift checks (checks/drift.py) compare column
+DISTRIBUTIONS between snapshots; this module compares MEMBERSHIP —
+the incremental-validation primitive. Given two snapshots keyed by
+(repo, path) with a content digest, classify every key:
+
+  added     — in new, not in old
+  deleted   — in old, not in new
+  modified  — in both, digests differ
+  unchanged — in both, digests equal
+
+Scale shape: one full-outer sort-merge join on the key columns — the
+single unavoidable shuffle, sized by the key+digest projection (a few
+dozen bytes/row), never the content. In a real deployment both
+snapshots live in the same Iceberg table partitioned by commit and
+bucketed by the key, so the join is co-partitioned and shuffle-free;
+AQE handles the residual skew of a hot repo. The digest is the same
+content sha256 the fingerprint invariant mandates, so `modified` is
+byte-exact, not mtime-guessed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path"),
+    digest_col: str = "content_sha256",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify every key across two snapshots. Output columns:
+    *key_cols, old_digest, new_digest, status. NULL join keys are
+    dropped on both sides (SQL join semantics: NULL never equals
+    NULL, so a null-keyed row can only ever be spurious add+delete —
+    same contract as asof_join's null-key rule)."""
+    key_cols = list(key_cols)
+    reserved = {"old_digest", "new_digest", "status"}
+    clash = reserved & set(key_cols)
+    if clash:
+        raise ValueError(f"snapshot_delta: key columns collide with "
+                         f"output columns: {sorted(clash)}")
+    notnull = F.lit(True)
+    for k in key_cols:
+        notnull = notnull & F.col(k).isNotNull()
+    o = old.where(notnull).select(
+        *key_cols, F.col(digest_col).alias("old_digest")
+    )
+    n = new.where(notnull).select(
+        *key_cols, F.col(digest_col).alias("new_digest")
+    )
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("deleted"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.withColumn("status", status)
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def delta_summary(
+    delta: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group status counts — the per-partition pass/fail roll-up
+    input (a partition whose churn exceeds policy FAILs). One shuffle
+    over the (small) delta stream."""
+    return (
+        delta.groupBy(*group_cols, "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

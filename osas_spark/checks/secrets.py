@@ -1,0 +1,171 @@
+"""Secrets / credential scanning over source-file content.
+
+A source-code validation engine's highest-stakes constraint: no file
+may contain an embedded credential. The reference has no analogue
+(its rule engine, src/osas/main/apply_rules.py, labels rows but never
+extracts evidence); this module is the violation-rows-with-lineage
+formulation the north rule asks for — each finding row carries the
+file's key columns, the rule that fired, and the matched evidence
+snippet, so a verdict FAIL is auditable down to the byte.
+
+Scale shape: the whole scan is ONE narrow projection — per rule a
+JVM `regexp_extract_all` (whole-stage codegen, java.util.regex), the
+per-rule arrays tagged and flattened with `transform`/`flatten`, one
+`explode` at the end. Zero shuffle, zero Python per row; the scan
+parallelizes with the file scan and the regex cost is the only cost.
+At 10^12 files the dominant term is the content bytes already being
+read — the scan rides the same pass as fingerprinting.
+
+Rule patterns are kept to the RE2-compatible subset (no backrefs, no
+lookaround) so the identical pattern string runs under Java regex
+(Spark) and RE2 (DuckDB oracle) with the same semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check, empty_labels
+
+# (rule_name, pattern). Deliberately high-precision patterns: a
+# validation verdict that FAILs a partition must not be arguable.
+# Entropy-style heuristics (long mixed-charset tokens) live at the
+# end with tighter anchors for the same reason.
+SECRET_RULES: list[tuple[str, str]] = [
+    # AWS access key id: fixed 4-char prefix + 16 uppercase base-32ish
+    ("aws_access_key_id", r"AKIA[0-9A-Z]{16}"),
+    # PEM private key header (RSA/EC/OPENSSH/PGP/unqualified)
+    ("private_key_block", r"-----BEGIN [A-Z ]*PRIVATE KEY(?: BLOCK)?-----"),
+    # Slack bot/user/app tokens
+    ("slack_token", r"xox[baprs]-[0-9A-Za-z-]{10,}"),
+    # GitHub fine-grained / classic tokens
+    ("github_token", r"gh[pousr]_[A-Za-z0-9]{16,}"),
+    # JWT: three dot-joined base64url segments, header always 'eyJ'
+    ("jwt", r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}"),
+    # quoted value assigned to a secret-ish name: password="....",
+    # 'api_key': '....', "token": "....". The optional quote after the
+    # name covers JSON/YAML keys.
+    ("assigned_secret",
+     r"(?i)(?:password|passwd|secret|api[_-]?key|apikey|token)"
+     r"[\"']?\s*[=:]\s*[\"'][^\"'\s]{8,}[\"']"),
+    # bare 40+-hex-char token (leaked digest-shaped secret)
+    ("hex_secret", r"\b[0-9a-f]{40,}\b"),
+]
+
+
+def _tagger(name: str):
+    """Single-argument closure factory — NOT `lambda m, _n=name:`.
+    PySpark's transform() dispatches on the callable's ARITY: a
+    two-parameter callable receives (element, index), silently
+    rebinding the default-arg capture to the array position (the
+    round-2 minhash/LSH landmine, postmortem in SCALE.md)."""
+    def tag(m: Column) -> Column:
+        return F.struct(F.lit(name).alias("rule"), m.alias("finding"))
+    return tag
+
+
+def _findings_col(content: Column, rules: Sequence[tuple[str, str]]) -> Column:
+    """array<struct<rule,finding>> of every match of every rule."""
+    per_rule = [
+        F.transform(
+            F.regexp_extract_all(content, F.lit(pat), F.lit(0)),
+            _tagger(name),
+        )
+        for name, pat in rules
+    ]
+    return F.flatten(F.array(*per_rule))
+
+
+def scan_secrets(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+    rules: Sequence[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Violation rows: one row per (file, rule, match occurrence) —
+    columns = *id_cols, rule, finding. Files with no findings emit
+    nothing (explode, not explode_outer: this is a violation stream,
+    absence is the PASS case and stays implicit)."""
+    rules = list(rules if rules is not None else SECRET_RULES)
+    if not rules:
+        raise ValueError("scan_secrets: empty rule list")
+    hits = _findings_col(F.col(content_col), rules)
+    return (
+        df.select(*id_cols, F.explode(hits).alias("__f"))
+        .select(*id_cols, F.col("__f.rule").alias("rule"),
+                F.col("__f.finding").alias("finding"))
+    )
+
+
+def secret_verdicts(
+    findings: DataFrame,
+    partition_cols: Sequence[str] = ("repo",),
+    file_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Per-partition rollup of a findings stream: rule, finding count,
+    distinct offending files (approx at scale would use HLL; exact here
+    because findings are already the rare stream), verdict. One
+    shuffle on (partition_cols, rule) over the *findings* — the
+    full corpus never re-aggregates."""
+    return (
+        findings.groupBy(*partition_cols, "rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_findings"),
+            F.countDistinct(*file_cols).alias("n_files"),
+        )
+        .withColumn("verdict", F.lit("FAIL"))
+    )
+
+
+class SecretsCheck(Check):
+    """The scan as a first-class suite constraint: apply() labels each
+    row SECRET_<RULE> per fired rule, the suite turns those into
+    violation rows + per-partition FAIL verdicts like every other
+    check. Stateless (rule pack is config, not fitted model) — fit is
+    a no-op and checkpoints carry only the rule list.
+
+    Labeling uses `rlike` per rule (boolean, short-circuiting) rather
+    than extract_all: the suite wants the verdict bit; evidence
+    extraction stays in scan_secrets for the audit stream."""
+
+    def __init__(
+        self,
+        field: str = "content",
+        rules: Sequence[tuple[str, str]] | None = None,
+        name: str | None = None,
+    ):
+        self.field = field
+        self.rules = list(rules if rules is not None else SECRET_RULES)
+        if not self.rules:
+            raise ValueError("SecretsCheck: empty rule list")
+        self.name = name or f"secrets_{field}"
+
+    def fit(self, df: DataFrame) -> "SecretsCheck":
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.field)
+        hits = [
+            F.when(col.rlike(pat), F.lit(f"SECRET_{name.upper()}"))
+            for name, pat in self.rules
+        ]
+        labels = F.when(
+            col.isNull(), empty_labels()
+        ).otherwise(F.array_compact(F.array(*hits)))
+        return df.withColumn(self.label_col, labels)
+
+    def violation_labels(self) -> list[str]:
+        return [f"SECRET_{name.upper()}" for name, _ in self.rules]
+
+    def model_dict(self) -> dict:
+        return {"field": self.field, "rules": [list(r) for r in self.rules],
+                "name": self.name}
+
+    def load_model(self, d: dict) -> "SecretsCheck":
+        self.field = d["field"]
+        self.rules = [tuple(r) for r in d["rules"]]
+        self.name = d["name"]
+        return self

@@ -66,6 +66,13 @@ def build_check(spark: SparkSession, spec: dict):
     if t == "rules":
         rules = [Rule.from_dict(d) for d in spec["rules"]]
         return RuleCheck(rules, name=spec.get("name", "rules"))
+    if t == "secrets":
+        from osas_spark.checks.secrets import SecretsCheck
+
+        rules = [tuple(r) for r in spec["rules"]] if "rules" in spec else None
+        return SecretsCheck(
+            spec.get("field", "content"), rules=rules, name=spec.get("name")
+        )
     if t == "keyword":
         return KeywordCheck(spec["field"], spec["keywords"], name=spec.get("name"))
     if t == "regex":
