@@ -1239,6 +1239,32 @@ FROM walk
 """
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of every document (12-token
+    windows, 4-token overlap — functions/chunking.py): zero-shuffle
+    split/sequence/slice/array_join projection. The oracle replays
+    string_split + generate_series + list_slice in DuckDB."""
+    from osas_spark.functions.chunking import chunk_by_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_by_tokens(docs, "text", chunk_tokens=12, overlap=4)
+
+
+_CHUNK_DOCUMENTS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(start / 8 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 12), ' ')
+         AS chunk_text,
+       CAST(least(12, len(toks) - start) AS BIGINT) AS n_chunk_tokens
+FROM t,
+     unnest(generate_series(0, greatest(len(toks) - 1 - 4, 0), 8))
+       AS u(start)
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -2436,15 +2462,9 @@ def _secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_secrets(docs, "content", id_cols=("doc_id",))
 
 
-def _build_secret_scan_sql() -> str:
-    from osas_spark.checks.secrets import SECRET_RULES
-
-    rule_rows = ",\n  ".join(
-        "('{}', '{}')".format(name, pat.replace("'", "''"))
-        for name, pat in SECRET_RULES
-    )
-    return f"""
-WITH c AS (
+# Shared CTE body: the synthetic secret-injected corpus, the SQL twin
+# of _secret_content_col() above.
+_SECRET_CONTENT_CTE = """
   SELECT doc_id,
     text
     || CASE WHEN doc_id % 11 = 0
@@ -2472,13 +2492,64 @@ WITH c AS (
             THEN ' ghp_' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
             ELSE '' END AS content
   FROM documents
-),
+"""
+
+
+def _build_secret_scan_sql() -> str:
+    from osas_spark.checks.secrets import SECRET_RULES
+
+    rule_rows = ",\n  ".join(
+        "('{}', '{}')".format(name, pat.replace("'", "''"))
+        for name, pat in SECRET_RULES
+    )
+    return f"""
+WITH c AS ({_SECRET_CONTENT_CTE}),
 rules(rule, pat) AS (VALUES
   {rule_rows}
 )
 SELECT c.doc_id, r.rule,
        unnest(regexp_extract_all(c.content, r.pat)) AS finding
 FROM c CROSS JOIN rules r
+"""
+
+
+def _redact_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbed corpus: (doc_id, clean, n_redactions) — the chained
+    JVM regexp_replace projection from checks/secrets.py over the
+    same synthetic secret-injected corpus as secret_scan. The oracle
+    nests DuckDB regexp_replace(..., 'g') in identical pack order, so
+    the hash match proves byte-for-byte replacement parity between
+    java.util.regex and RE2 on the whole corpus."""
+    from osas_spark.checks.secrets import redact_secrets
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content", _secret_content_col()
+    )
+    return redact_secrets(docs, "content", out_col="clean").select(
+        "doc_id", "clean", F.col("n_redactions").cast("long").alias("n_redactions")
+    )
+
+
+def _build_redact_secrets_sql() -> str:
+    from osas_spark.checks.secrets import SECRET_RULES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "content"
+    for name, pat in SECRET_RULES:
+        expr = (f"regexp_replace({expr}, '{esc(pat)}', "
+                f"'[SECRET:{name}]', 'g')")
+    count = " + ".join(
+        f"len(regexp_extract_all(content, '{esc(pat)}'))"
+        for _, pat in SECRET_RULES
+    )
+    return f"""
+WITH c AS ({_SECRET_CONTENT_CTE})
+SELECT doc_id,
+       {expr} AS clean,
+       CAST({count} AS BIGINT) AS n_redactions
+FROM c
 """
 
 
@@ -2563,6 +2634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": _schema_drift,
         "snapshot_file_delta": _snapshot_file_delta,
         "secret_scan": _secret_scan,
+        "redact_secrets": _redact_secrets,
+        "chunk_documents": _chunk_documents,
         "robust_outliers": _robust_outliers,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
@@ -2627,6 +2700,8 @@ def oracle_sql() -> dict[str, str]:
         "schema_drift": _SCHEMA_DRIFT_SQL,
         "snapshot_file_delta": _SNAPSHOT_FILE_DELTA_SQL,
         "secret_scan": _build_secret_scan_sql(),
+        "redact_secrets": _build_redact_secrets_sql(),
+        "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -100,6 +100,50 @@ def scan_secrets(
     )
 
 
+def redact_secrets(
+    df: DataFrame,
+    content_col: str = "content",
+    rules: Sequence[tuple[str, str]] | None = None,
+    template: str = "[SECRET:{rule}]",
+    out_col: str | None = None,
+    count_col: str = "n_redactions",
+) -> DataFrame:
+    """Scrub every rule match out of the content — finding secrets is
+    the audit stream (scan_secrets); a corpus that feeds a training
+    run needs them REMOVED. Rules apply as a chain of JVM
+    `regexp_replace` in pack order, each over the previous rule's
+    output, so the composition is deterministic and replayable
+    engine-for-engine (the oracle nests `regexp_replace(..., 'g')`
+    identically). Placeholders are charset-disjoint from every
+    pattern in the default pack (asserted in tests), so a later rule
+    never re-matches an earlier rule's placeholder.
+
+    `count_col` counts matches per rule on the ORIGINAL content (one
+    `regexp_extract_all` pass, same projection) — if two rules overlap
+    on the same span the count can exceed the number of spans
+    replaced; it is a findings tally, not a diff size.
+
+    Same scale shape as the scan: one narrow projection, zero shuffle,
+    zero Python per row."""
+    rules = list(rules if rules is not None else SECRET_RULES)
+    if not rules:
+        raise ValueError("redact_secrets: empty rule list")
+    out_col = out_col or content_col
+    redacted: Column = F.col(content_col)
+    for name, pat in rules:
+        redacted = F.regexp_replace(
+            redacted, pat, template.format(rule=name)
+        )
+    n = sum(
+        F.size(F.regexp_extract_all(F.col(content_col), F.lit(pat), F.lit(0)))
+        for _, pat in rules
+    )
+    # count first (reads the original content), then replace — with
+    # out_col == content_col the reverse order would count over the
+    # already-redacted text and always report zero.
+    return df.withColumn(count_col, n).withColumn(out_col, redacted)
+
+
 def secret_verdicts(
     findings: DataFrame,
     partition_cols: Sequence[str] = ("repo",),

@@ -1,0 +1,155 @@
+"""Token-window document chunking — split long documents into
+fixed-size, optionally overlapping token windows.
+
+The dual of functions/packing.py: packing concatenates short docs up
+to a token budget; chunking splits long docs down to one. Every
+context-window-bounded consumer (embedding models, training sequence
+prep, retrieval indexing) needs it, and it must be deterministic —
+chunk ids are derived from token offsets, not runtime state, so the
+same corpus chunks identically across runs, retries and partition
+placements.
+
+Chunk starts step by `stride = chunk_tokens - overlap`; every chunk
+except possibly the last is exactly `chunk_tokens` long, and each
+chunk shares its first `overlap` tokens with its predecessor's tail.
+The last chunk may be short (it still starts a fresh stride, so every
+chunk contributes at least one new token — guaranteed by
+`overlap < chunk_tokens`).
+
+Scale shape: a single narrow projection + explode — split, sequence,
+slice, array_join are all JVM whole-stage-codegen expressions; ZERO
+shuffle, zero Python, output row width bounded by `chunk_tokens`
+regardless of input document length. A 100 GB partition of long docs
+streams through without ever materializing more than one row's token
+array. The explode multiplies rows by ~n_tokens/stride; downstream
+repartitioning is the consumer's call (chunk row count, not width, is
+the new scale axis).
+
+Tokenization here is separator-split (the same whitespace-token
+contract as functions/textfns.py token counting); a learned tokenizer
+belongs in an Arrow-batched UDF upstream, producing a token-count
+column for packing and a text column for chunking.
+
+Reference parity: no analogue in /root/reference (training-data
+pipeline addition, like dedup/sampling/packing). The DuckDB oracle
+replays string_split + generate_series + list_slice over the same
+corpus.
+
+NULL text propagates: `greatest`/`least` ignore NULLs identically in
+Spark and DuckDB, so a NULL document emits exactly one chunk row with
+NULL chunk text in both engines (callers filter if they care —
+dropping rows silently is not this operator's decision).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+    sep: str = " ",
+    chunk_id_col: str = "chunk_id",
+    out_col: str = "chunk_text",
+    count_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Explode each row into its token-window chunks. Output = input
+    columns (minus `text_col`) + chunk_id (0-based window index) +
+    chunk text + chunk token count. `sep` is a LITERAL separator
+    (regex-escaped before hitting Spark's split), used for both the
+    split and the re-join."""
+    if chunk_tokens <= 0:
+        raise ValueError(
+            f"chunk_by_tokens: chunk_tokens must be positive, got {chunk_tokens}"
+        )
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"chunk_by_tokens: overlap must be in [0, chunk_tokens), "
+            f"got overlap={overlap}, chunk_tokens={chunk_tokens}"
+        )
+    clash = {chunk_id_col, out_col, count_col} & set(df.columns) - {text_col}
+    if clash:
+        raise ValueError(
+            f"chunk_by_tokens: output columns collide with input: {sorted(clash)}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), re.escape(sep))
+    n = F.size(toks)
+    # inclusive-stop sequence: one start per window, last window may be
+    # short. Stop at n - overlap - 1, NOT n - 1: a start in
+    # (n-overlap-1, n) would emit a chunk lying entirely inside its
+    # predecessor's span (<= overlap tokens, zero new content) —
+    # redundant data and a round-trip breaker. With this stop every
+    # non-first chunk has > overlap tokens and the last chunk still
+    # reaches the final token (last start >= n - chunk_tokens).
+    # greatest(.., 0) keeps empty/short docs on the one-chunk path.
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(stride)
+    )
+    keep = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *keep, toks.alias("__toks"), n.alias("__n"),
+        F.posexplode(starts).alias(chunk_id_col, "__start"),
+    )
+    return exploded.select(
+        *keep,
+        F.col(chunk_id_col),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens), sep
+        ).alias(out_col),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+        .cast("long").alias(count_col),
+    )
+
+
+def reassemble_chunks(
+    chunks: DataFrame,
+    id_cols: Sequence[str],
+    overlap: int,
+    sep: str = " ",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    out_col: str = "text",
+) -> DataFrame:
+    """Inverse of chunk_by_tokens: re-join a document's chunks in
+    chunk_id order, stripping each non-first chunk's leading `overlap`
+    tokens. Round-trip identity (chunk → reassemble == original) is
+    the correctness contract the property tests assert.
+
+    One shuffle on id_cols (the groupBy); the sort inside the
+    aggregation is per-document array_sort over that doc's chunks —
+    no global ordering required."""
+    id_cols = list(id_cols)
+    strip = (
+        F.when(
+            F.col(chunk_id_col) == 0, F.col(text_col)
+        ).otherwise(
+            F.array_join(
+                F.slice(
+                    F.split(F.col(text_col), re.escape(sep)),
+                    overlap + 1,
+                    2_147_483_647,
+                ),
+                sep,
+            )
+        )
+    )
+    tagged = chunks.select(
+        *id_cols,
+        F.struct(F.col(chunk_id_col).alias("i"), strip.alias("t")).alias("__c"),
+    )
+    return tagged.groupBy(*id_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__c")), lambda c: c["t"]
+            ),
+            sep,
+        ).alias(out_col)
+    )

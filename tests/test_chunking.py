@@ -1,0 +1,101 @@
+"""Token-window chunking (functions/chunking.py): exact shapes,
+coverage/overlap invariants, and the chunk -> reassemble round-trip.
+Ground truth is a 10-line Python replay of the windowing arithmetic.
+"""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+def _py_chunks(text, chunk, overlap, sep=" "):
+    toks = text.split(sep)
+    n = len(toks)
+    stride = chunk - overlap
+    stop = max(n - 1 - overlap, 0)
+    out = []
+    for i, start in enumerate(range(0, stop + 1, stride)):
+        out.append((i, sep.join(toks[start:start + chunk]),
+                    min(chunk, n - start)))
+    return out
+
+
+_DOCS = [
+    (0, "a b c d e f g h i j"),   # 10 tokens
+    (1, "x"),                     # 1 token (< chunk)
+    (2, ""),                      # empty -> [''] single token
+    (3, "p q r s"),               # exactly one chunk at chunk=4
+    (4, "m n o p q"),             # chunk+1 tokens
+]
+
+
+def test_chunks_match_python_replay(spark):
+    from osas_spark.functions.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    for chunk, overlap in [(4, 0), (4, 2), (3, 1), (5, 4), (1, 0)]:
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+            for r in chunk_by_tokens(df, "text", chunk, overlap).collect()
+        )
+        expected = sorted(
+            (doc_id, i, t, n)
+            for doc_id, text in _DOCS
+            for i, t, n in _py_chunks(text, chunk, overlap)
+        )
+        assert got == expected, (chunk, overlap)
+
+
+def test_every_chunk_adds_new_content(spark):
+    """No chunk may lie entirely inside its predecessor's span — the
+    n-1-overlap stop bound. With the naive n-1 stop, doc 0 at
+    (chunk=4, overlap=2) would emit a 5th chunk of pure overlap."""
+    from osas_spark.functions.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    rows = chunk_by_tokens(df, "text", 4, 2).where(F.col("doc_id") == 0).collect()
+    assert len(rows) == 4  # starts 0,2,4,6 — not 8
+    # last chunk still reaches the final token
+    assert rows[-1]["chunk_text"].endswith("j")
+    # every non-first chunk is strictly longer than the overlap
+    assert all(r["n_chunk_tokens"] > 2 for r in rows if r["chunk_id"] > 0)
+
+
+def test_chunking_is_shuffle_free(spark):
+    from osas_spark.functions.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    plan = chunk_by_tokens(df, "text", 4, 1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_roundtrip_identity(spark):
+    from osas_spark.functions.chunking import chunk_by_tokens, reassemble_chunks
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    for chunk, overlap in [(4, 0), (4, 2), (3, 1), (5, 4)]:
+        chunks = chunk_by_tokens(df, "text", chunk, overlap)
+        back = reassemble_chunks(chunks, ["doc_id"], overlap)
+        got = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert got == dict(_DOCS), (chunk, overlap)
+
+
+def test_null_text_single_null_chunk(spark):
+    from osas_spark.functions.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    rows = chunk_by_tokens(df, "text", 4, 1).collect()
+    assert [(r["chunk_id"], r["chunk_text"]) for r in rows] == [(0, None)]
+
+
+def test_bad_params_raise(spark):
+    from osas_spark.functions.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="positive"):
+        chunk_by_tokens(df, "text", 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_by_tokens(df, "text", 4, 4)
+    with pytest.raises(ValueError, match="collide"):
+        chunk_by_tokens(df.withColumn("chunk_id", F.lit(1)), "text", 4)

@@ -126,6 +126,52 @@ def test_empty_rule_list_raises(spark):
         scan_secrets(df, "content", id_cols=("doc_id",), rules=[])
 
 
+def test_redact_matches_python_re(spark):
+    """Engine-independent replay: chained re.sub in pack order must
+    reproduce Spark's chained regexp_replace byte-for-byte."""
+    from osas_spark.checks.secrets import SECRET_RULES, redact_secrets
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "content"])
+    got = {r["doc_id"]: (r["content"], r["n_redactions"])
+           for r in redact_secrets(df).collect()}
+    for doc_id, text in _CORPUS:
+        expected = text
+        n = 0
+        for name, pat in SECRET_RULES:
+            n += len(re.findall(pat, text))
+            expected = re.sub(pat, f"[SECRET:{name}]", expected)
+        assert got[doc_id] == (expected, n), doc_id
+    # the clean doc is untouched with zero count
+    assert got[0] == (_CORPUS[0][1], 0)
+    # a flagged doc no longer scans dirty
+    assert "AKIA" not in got[1][0] and got[1][1] >= 1
+
+
+def test_redact_placeholders_never_rematch():
+    """No placeholder produced by any rule may match any rule — else
+    the chain's output depends on pack order in a way users can't
+    reason about. Locked as an invariant of the default pack."""
+    from osas_spark.checks.secrets import SECRET_RULES
+
+    for name, _ in SECRET_RULES:
+        placeholder = f"[SECRET:{name}]"
+        for other, pat in SECRET_RULES:
+            assert not re.search(pat, placeholder), (name, other)
+
+
+def test_redact_out_col_and_shuffle_free(spark):
+    from osas_spark.checks.secrets import redact_secrets
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "content"])
+    out = redact_secrets(df, out_col="clean")
+    assert set(out.columns) == {"doc_id", "content", "clean", "n_redactions"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[1]["content"] == _CORPUS[1][1]  # original preserved
+    assert "AKIA" not in r[1]["clean"]
+
+
 # ------------------------------------------------------------------ delta
 
 def _snap(spark, rows):
