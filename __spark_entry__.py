@@ -1265,6 +1265,41 @@ FROM t,
 """
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile (functions/spans.py): the
+    fraction of each doc's 8-token span occurrences that exist >= 2
+    times corpus-wide — the distributed relaxation of Lee et al.
+    suffix-array substring dedup. Raw span strings here so DuckDB can
+    replay exactly; production uses hash_spans=True (xxhash64 keys,
+    8-byte shuffle width)."""
+    from osas_spark.functions.spans import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_stats(docs, "text", k=8, hash_spans=False)
+
+
+_DUP_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+7], ' ')
+                 for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS span
+  FROM t
+),
+m AS (SELECT span, doc_id, count(*) AS m FROM g GROUP BY 1, 2),
+w AS (SELECT doc_id, m, sum(m) OVER (PARTITION BY span) AS tot FROM m)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN tot >= 2 THEN m ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN tot >= 2 THEN m ELSE 0 END) AS DOUBLE)
+             / sum(m), 6) AS dup_fraction
+FROM w GROUP BY doc_id
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -1729,6 +1764,56 @@ SELECT doc_id, CAST(ws_tokens AS BIGINT) AS ws_tokens,
            + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
          AS DOUBLE), 2) AS quality_score
 FROM r
+"""
+
+
+def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the 5 best-quality docs per
+    (lang, source) under the deterministic order (quality_score desc,
+    doc_id) — functions/sampling.py cap_per_group, one shuffle on the
+    group key + in-partition sort. Oracle: SQL row_number replay over
+    the same quality formula."""
+    from osas_spark.functions.sampling import cap_per_group
+    from osas_spark.functions.textfns import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    qf = quality_features(docs, "text")
+    return cap_per_group(
+        qf,
+        ["lang", "source"],
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        k=5,
+        keep_rank=True,
+    ).select("doc_id", "lang", "source", "group_rank")
+
+
+_CAP_PER_SOURCE_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, source, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) < 0.3 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END) > 0.5 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN (CASE WHEN ws_tokens > 0 THEN n_chars::DOUBLE / ws_tokens ELSE 0 END) BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+         AS q
+  FROM f
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY q DESC, doc_id) AS group_rank
+  FROM r
+)
+SELECT doc_id, lang, source, group_rank FROM ranked WHERE group_rank <= 5
 """
 
 
@@ -2636,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": _secret_scan,
         "redact_secrets": _redact_secrets,
         "chunk_documents": _chunk_documents,
+        "dup_spans": _dup_spans,
+        "cap_per_source": _cap_per_source,
         "robust_outliers": _robust_outliers,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
@@ -2702,6 +2789,8 @@ def oracle_sql() -> dict[str, str]:
         "secret_scan": _build_secret_scan_sql(),
         "redact_secrets": _build_redact_secrets_sql(),
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
+        "cap_per_source": _CAP_PER_SOURCE_SQL,
         "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -201,3 +201,41 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "group_rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-group quota: keep the top `k` rows of each group under a
+    DETERMINISTIC total order — the per-domain document cap every web
+    corpus applies ("at most N pages per host, best-quality first").
+    `order_cols` must be a total order within each group (callers
+    append a unique id as the final tiebreak; ties broken by engine
+    whim would make the kept set irreproducible — the same
+    determinism contract as sampling/packing in this module).
+
+    Scale shape: one shuffle on group_cols + an in-partition sort —
+    the minimal cost of any exact per-group top-k. Skewed groups
+    (one huge domain) sort more rows but never collect them; AQE
+    splits oversized partitions. For rank-free capping at extreme
+    skew, a two-phase partial top-k (per-partition heads, then
+    merge) trades exactness of ORDER for a smaller sort — not this
+    operator's contract.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"cap_per_group: k must be positive, got {k}")
+    if not order_cols:
+        raise ValueError("cap_per_group: order_cols must be non-empty")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+    return out if keep_rank else out.drop(rank_col)

@@ -1,0 +1,113 @@
+"""Duplicated-span detection — the corpus-level "how much of this
+document is boilerplate that exists elsewhere" signal.
+
+Exact substring dedup à la "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., 2022) builds a suffix array over
+the whole corpus — inherently single-machine. The distributed
+relaxation, standard in large-scale pipelines, is token k-gram
+counting: a k-token span is DUPLICATED when it occurs at least
+`min_count` times corpus-wide (across documents or repeated within
+one — both are duplicate training content), and a document's
+dup_fraction is the fraction of its span occurrences that are
+duplicated. Docs above a threshold get dropped or scrubbed; the
+metric is also the standard memorization-risk audit.
+
+Scale shape: three shuffles, all on pre-aggregated streams —
+  1. explode spans -> groupBy (span, doc) with map-side partial
+     aggregation (the only corpus-width shuffle; intra-doc repeats
+     collapse before the exchange);
+  2. a window sum over the span key turns per-doc counts into global
+     counts without a self-join (one exchange on span, reused by
+     Catalyst where partitioning already matches);
+  3. groupBy doc rolls up the per-doc stats (rows = docs x distinct
+     spans, width = a hash + two longs).
+Span keys can be hashed (`hash_spans=True`, xxhash64) so the shuffle
+carries 8 bytes instead of k words — the scale default; raw span
+strings are kept only when an engine-replayable oracle needs them
+(xxhash64 has no DuckDB twin; counts are identical either way modulo
+2^-64 collisions).
+
+The gram convention (lowercase, whitespace-split, space-joined,
+short docs contribute their whole text as one span) matches
+functions/dedup.py word_grams so span stats, Jaccard dedup and
+decontamination all agree on what a "span" is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _span_occurrences(text_col: str, k: int) -> F.Column:
+    """array<string> of ALL word k-gram occurrences (with
+    multiplicity — the occurrence-level dual of word_grams'
+    distinct set)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Per-document duplication profile:
+    (id_col, n_spans, n_dup_spans, dup_fraction) where n_spans counts
+    the doc's span occurrences and n_dup_spans those whose span occurs
+    >= min_count times corpus-wide (intra-doc repetition included)."""
+    if k <= 0:
+        raise ValueError(f"duplicated_span_stats: k must be positive, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicated_span_stats: min_count must be >= 2, got {min_count}"
+        )
+    span = F.explode(_span_occurrences(text_col, k)).alias("__span")
+    occ = df.select(F.col(id_col), span)
+    if hash_spans:
+        occ = occ.withColumn("__span", F.xxhash64("__span"))
+    per_doc = occ.groupBy("__span", id_col).agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    tot = F.sum("__m").over(Window.partitionBy("__span"))
+    flagged = per_doc.withColumn("__tot", tot)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_spans"),
+            F.sum(F.when(F.col("__tot") >= min_count, F.col("__m"))
+                  .otherwise(F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The span-level table: (span, n_docs, n_total) for every span
+    occurring >= min_count times — the inspection/blocklist surface
+    (raw span strings; for the per-doc score at scale prefer
+    duplicated_span_stats(hash_spans=True))."""
+    occ = df.select(
+        F.col(id_col), F.explode(_span_occurrences(text_col, k)).alias("span")
+    )
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .where(F.col("n_total") >= min_count)
+    )

@@ -167,3 +167,38 @@ def test_bernoulli_plan_is_pure_filter(spark):
     assert "Exchange" not in plan
     assert "Aggregate" not in plan
     assert "Filter" in plan
+
+
+def test_cap_per_group_deterministic_topk(spark):
+    from osas_spark.functions.sampling import cap_per_group
+
+    rows = [("a", i, float(i % 3)) for i in range(10)] + \
+           [("b", i, 1.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    out = cap_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id")], k=3, keep_rank=True
+    )
+    got = sorted((r["grp"], r["id"], r["group_rank"]) for r in out.collect())
+    # group a: score-2 rows are ids 2,5,8 -> they fill the quota in id order
+    assert [(g, i) for g, i, _ in got if g == "a"] == [("a", 2), ("a", 5), ("a", 8)]
+    # group b: all tied -> deterministic id-order prefix
+    assert [(g, i) for g, i, _ in got if g == "b"] == [("b", 0), ("b", 1), ("b", 2)]
+    # identical across partitionings (determinism contract)
+    again = cap_per_group(
+        df.repartition(7), ["grp"], [F.col("score").desc(), F.col("id")],
+        k=3, keep_rank=True,
+    )
+    assert sorted((r["grp"], r["id"], r["group_rank"])
+                  for r in again.collect()) == got
+
+
+def test_cap_per_group_bad_params(spark):
+    import pytest as _pt
+
+    from osas_spark.functions.sampling import cap_per_group
+
+    df = spark.createDataFrame([("a", 1)], ["grp", "id"])
+    with _pt.raises(ValueError, match="k must be positive"):
+        cap_per_group(df, ["grp"], ["id"], k=0)
+    with _pt.raises(ValueError, match="order_cols"):
+        cap_per_group(df, ["grp"], [], k=1)

@@ -1,0 +1,85 @@
+"""Duplicated-span stats (functions/spans.py). Ground truth: a
+Counter-based Python replay of the k-gram occurrence counting."""
+
+from collections import Counter
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "THE QUICK BROWN fox jumps over a sleeping cat"),   # shares 4-grams w/ 0 (case-folded)
+    (2, "totally unique content nothing shared here at all"),
+    (3, "spam spam spam spam spam spam spam spam"),          # intra-doc repetition
+    (4, "tiny"),                                             # shorter than k
+]
+
+
+def _py_spans(text, k):
+    toks = text.strip().lower().split()
+    if len(toks) <= k:
+        return [" ".join(toks[:k])]
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _py_stats(docs, k, min_count):
+    global_counts = Counter(s for _, t in docs for s in _py_spans(t, k))
+    out = {}
+    for doc_id, t in docs:
+        spans = _py_spans(t, k)
+        dup = sum(1 for s in spans if global_counts[s] >= min_count)
+        out[doc_id] = (len(spans), dup, round(dup / len(spans), 6))
+    return out
+
+
+@pytest.mark.parametrize("hash_spans", [False, True])
+def test_stats_match_python_replay(spark, hash_spans):
+    from osas_spark.functions.spans import duplicated_span_stats
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    for k in (3, 4, 8):
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_fraction"])
+            for r in duplicated_span_stats(
+                df, "text", k=k, hash_spans=hash_spans
+            ).collect()
+        }
+        assert got == _py_stats(_DOCS, k, 2), (k, hash_spans)
+
+
+def test_intra_doc_repetition_counts_as_dup(spark):
+    from osas_spark.functions.spans import duplicated_span_stats
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    r = {x["doc_id"]: x for x in
+         duplicated_span_stats(df, "text", k=3).collect()}
+    # doc 3 is one span repeated 6x -> fully duplicated
+    assert r[3]["dup_fraction"] == 1.0
+    # doc 2 shares nothing and repeats nothing
+    assert r[2]["dup_fraction"] == 0.0
+    # doc 4 (< k tokens) contributes exactly one whole-text span
+    assert r[4]["n_spans"] == 1
+
+
+def test_span_level_table(spark):
+    from osas_spark.functions.spans import duplicated_spans
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    rows = {r["span"]: (r["n_docs"], r["n_total"])
+            for r in duplicated_spans(df, "text", k=4).collect()}
+    assert rows["the quick brown fox"] == (2, 2)     # docs 0 and 1
+    assert rows["spam spam spam spam"] == (1, 5)     # intra-doc repeats
+    # every listed span really occurs >= 2 times
+    assert all(t >= 2 for _, t in rows.values())
+
+
+def test_bad_params_raise(spark):
+    from osas_spark.functions.spans import duplicated_span_stats
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k must be positive"):
+        duplicated_span_stats(df, "text", k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicated_span_stats(df, "text", min_count=1)
