@@ -2638,6 +2638,83 @@ FROM c
 """
 
 
+def _incremental_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE incremental-validation equivalence, oracle-proven: findings
+    for a new commit snapshot computed via checks/delta.py
+    incremental_findings — scan ONLY added/modified files, carry prior
+    findings for content-unchanged files — while the DuckDB oracle
+    does a FULL rescan of the new snapshot. Hash-green means the
+    churn-cost path is row-identical to the full-corpus path.
+
+    Fixture: old = docs %7!=0, new = docs %5!=0 (membership gaps =
+    adds/deletes); %3==0 docs gain a slack token in the new snapshot
+    (modified class — their findings CHANGE, so stale carrying would
+    be caught); digest = md5(content), the content-hash invariant the
+    equivalence requires."""
+    from osas_spark.checks.delta import incremental_findings
+    from osas_spark.checks.secrets import scan_secrets
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.withColumn("content", _secret_content_col()).select(
+        "doc_id",
+        F.concat(F.lit("org"), (F.col("doc_id") % 20).cast("string"))
+        .alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        "content",
+    )
+    rev2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" xoxp-"),
+            F.substring(
+                F.md5(F.concat(F.lit("rev2"), F.col("doc_id").cast("string"))),
+                1, 12,
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    old = base.where(F.col("doc_id") % 7 != 0) \
+        .withColumn("digest", F.md5("content"))
+    new = base.where(F.col("doc_id") % 5 != 0) \
+        .withColumn("content", F.concat(F.col("content"), rev2)) \
+        .withColumn("digest", F.md5("content"))
+
+    def scan(df):
+        return scan_secrets(df, "content", id_cols=("repo", "path", "doc_id"))
+
+    out = incremental_findings(
+        scan(old), old, new, scan,
+        key_cols=("repo", "path"), digest_col="digest",
+    )
+    return out.select("doc_id", "repo", "path", "rule", "finding")
+
+
+def _build_incremental_secret_scan_sql() -> str:
+    from osas_spark.checks.secrets import SECRET_RULES
+
+    rule_rows = ",\n  ".join(
+        "('{}', '{}')".format(name, pat.replace("'", "''"))
+        for name, pat in SECRET_RULES
+    )
+    return f"""
+WITH s AS ({_SECRET_CONTENT_CTE}),
+c AS (
+  SELECT doc_id,
+         'org' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+         'f' || CAST(doc_id AS VARCHAR) AS path,
+         content || CASE WHEN doc_id % 3 = 0
+              THEN ' xoxp-' || substr(md5('rev2' || CAST(doc_id AS VARCHAR)), 1, 12)
+              ELSE '' END AS content
+  FROM s WHERE doc_id % 5 <> 0
+),
+rules(rule, pat) AS (VALUES
+  {rule_rows}
+)
+SELECT c.doc_id, c.repo, c.path, r.rule,
+       unnest(regexp_extract_all(c.content, r.pat)) AS finding
+FROM c CROSS JOIN rules r
+"""
+
+
 def _snapshot_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Added/deleted/modified/unchanged classification between two
     synthetic commit snapshots of the same file tree (checks/delta.py:
@@ -2723,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "dup_spans": _dup_spans,
         "cap_per_source": _cap_per_source,
+        "incremental_secret_scan": _incremental_secret_scan,
         "robust_outliers": _robust_outliers,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
@@ -2791,6 +2869,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "cap_per_source": _CAP_PER_SOURCE_SQL,
+        "incremental_secret_scan": _build_incremental_secret_scan_sql(),
         "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

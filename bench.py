@@ -76,6 +76,9 @@ HEADLINE = [
     "asof_last_purchase",  # union+window as-of join
     "secret_scan",         # zero-shuffle credential findings stream
     "snapshot_file_delta", # commit-snapshot membership diff
+    "redact_secrets",      # zero-shuffle chained-replace scrub
+    "chunk_documents",     # zero-shuffle token-window chunking
+    "dup_spans",           # corpus-wide duplicated-span profile
 ]
 
 

@@ -137,3 +137,38 @@ def test_curate_stream_equals_batch_curation(spark, tmp_path):
     spam_digest = spark.sql(
         f"select md5('{spam}') d").first()["d"]
     assert spam_digest not in got
+
+
+def test_secret_scan_streams_stateless(spark, tmp_path):
+    """scan_secrets is a stateless narrow projection, so the SAME
+    call works on a readStream frame — stream findings must equal
+    batch findings exactly (the incremental-validation deploy shape:
+    scan each micro-batch of new commits as it lands)."""
+    from osas_spark.checks.secrets import scan_secrets
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("text "),
+            F.when(F.col("id") % 7 == 0,
+                   F.concat(F.lit("AKIA"), F.upper(F.substring(
+                       F.md5(F.col("id").cast("string")), 1, 16))))
+            .otherwise(F.lit("clean")),
+        ).alias("content"),
+    )
+    src = str(tmp_path / "secsrc")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    found = scan_secrets(stream, "content", id_cols=("doc_id",))
+    q = (
+        found.writeStream.format("memory").queryName("secstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["rule"], r["finding"])
+           for r in spark.sql("select * from secstream").collect()}
+    want = {(r["doc_id"], r["rule"], r["finding"])
+            for r in scan_secrets(df, "content", id_cols=("doc_id",)).collect()}
+    assert got == want and len(want) > 0
