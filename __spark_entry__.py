@@ -2715,6 +2715,99 @@ FROM c CROSS JOIN rules r
 """
 
 
+def _curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composed pipeline, entirely from this round's operators:
+    secret REDACTION (checks/secrets.py) -> duplicated-span gate
+    (functions/spans.py, drop docs with dup_fraction > 0.35 measured
+    on the REDACTED text) -> per-(lang,source) cap of the 20
+    least-duplicated docs (functions/sampling.py cap_per_group). Each
+    stage is individually oracle-green (redact_secrets, dup_spans,
+    cap_per_source); this query proves their COMPOSITION reproduces
+    exactly — the oracle rebuilds all three stages in SQL."""
+    from osas_spark.checks.secrets import redact_secrets
+    from osas_spark.functions.sampling import cap_per_group
+    from osas_spark.functions.spans import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content", _secret_content_col()
+    )
+    red = redact_secrets(docs, "content", out_col="clean")
+    stats = duplicated_span_stats(
+        red.select("doc_id", "clean"), "clean", k=8, hash_spans=False
+    )
+    joined = (
+        red.select(
+            "doc_id", "lang", "source",
+            F.col("n_redactions").cast("long").alias("n_redactions"),
+        )
+        .join(stats.select("doc_id", "dup_fraction"), on="doc_id")
+        .where(F.col("dup_fraction") <= 0.35)
+    )
+    return cap_per_group(
+        joined,
+        ["lang", "source"],
+        [F.col("dup_fraction").asc(), F.col("doc_id")],
+        k=20,
+        keep_rank=True,
+    ).select("doc_id", "lang", "source", "n_redactions",
+             "dup_fraction", "group_rank")
+
+
+def _build_curation_audit_sql() -> str:
+    from osas_spark.checks.secrets import SECRET_RULES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "content"
+    for name, pat in SECRET_RULES:
+        expr = (f"regexp_replace({expr}, '{esc(pat)}', "
+                f"'[SECRET:{name}]', 'g')")
+    count = " + ".join(
+        f"len(regexp_extract_all(content, '{esc(pat)}'))"
+        for _, pat in SECRET_RULES
+    )
+    return rf"""
+WITH s AS ({_SECRET_CONTENT_CTE}),
+red AS (
+  SELECT doc_id, {expr} AS clean,
+         CAST({count} AS BIGINT) AS n_redactions
+  FROM s
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(clean)), '\s+') AS toks
+  FROM red
+),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+7], ' ')
+                 for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS span
+  FROM t
+),
+m AS (SELECT span, doc_id, count(*) AS m FROM g GROUP BY 1, 2),
+w AS (SELECT doc_id, m, sum(m) OVER (PARTITION BY span) AS tot FROM m),
+st AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN tot >= 2 THEN m ELSE 0 END) AS DOUBLE)
+               / sum(m), 6) AS dup_fraction
+  FROM w GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, d.lang, d.source, red.n_redactions, st.dup_fraction
+  FROM documents d
+  JOIN red ON red.doc_id = d.doc_id
+  JOIN st ON st.doc_id = d.doc_id
+  WHERE st.dup_fraction <= 0.35
+)
+SELECT doc_id, lang, source, n_redactions, dup_fraction, group_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang, source
+                               ORDER BY dup_fraction, doc_id) AS group_rank
+  FROM j
+) WHERE group_rank <= 20
+"""
+
+
 def _snapshot_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Added/deleted/modified/unchanged classification between two
     synthetic commit snapshots of the same file tree (checks/delta.py:
@@ -2801,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _dup_spans,
         "cap_per_source": _cap_per_source,
         "incremental_secret_scan": _incremental_secret_scan,
+        "curation_audit": _curation_audit,
         "robust_outliers": _robust_outliers,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
@@ -2870,6 +2964,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "cap_per_source": _CAP_PER_SOURCE_SQL,
         "incremental_secret_scan": _build_incremental_secret_scan_sql(),
+        "curation_audit": _build_curation_audit_sql(),
         "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
