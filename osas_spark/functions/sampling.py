@@ -210,6 +210,7 @@ def cap_per_group(
     k: int,
     rank_col: str = "group_rank",
     keep_rank: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-group quota: keep the top `k` rows of each group under a
     DETERMINISTIC total order — the per-domain document cap every web
@@ -219,13 +220,19 @@ def cap_per_group(
     whim would make the kept set irreproducible — the same
     determinism contract as sampling/packing in this module).
 
-    Scale shape: one shuffle on group_cols + an in-partition sort —
-    the minimal cost of any exact per-group top-k. Skewed groups
-    (one huge domain) sort more rows but never collect them; AQE
-    splits oversized partitions. For rank-free capping at extreme
-    skew, a two-phase partial top-k (per-partition heads, then
-    merge) trades exactness of ORDER for a smaller sort — not this
-    operator's contract.
+    Scale shape: one shuffle on group_cols + an in-partition sort.
+    Window.partitionBy puts ALL of a group's rows in one task, and AQE
+    cannot split a skewed window — so for corpora where one group is
+    a meaningful fraction of the input (one mega-domain), pass
+    `salt_buckets=S`: an EXACT two-phase top-k that first takes the
+    top k within each of S deterministic hash sub-buckets of the group
+    (hot groups sort S ways in parallel), then ranks the <= k*S
+    survivors per group. Exact because a row outranked by >= k rows
+    in its own bucket is outranked by >= k rows globally, so every
+    global top-k row survives phase one with its final rank intact
+    (asserted equal to the one-phase path in tests). The salt hashes
+    all columns; the trade is one extra (cheap) shuffle over
+    survivors.
     """
     from pyspark.sql import Window
 
@@ -234,6 +241,21 @@ def cap_per_group(
     if not order_cols:
         raise ValueError("cap_per_group: order_cols must be non-empty")
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    if salt_buckets is not None:
+        if salt_buckets <= 0:
+            raise ValueError(
+                f"cap_per_group: salt_buckets must be positive, "
+                f"got {salt_buckets}"
+            )
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+        survivors = (
+            df.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__salt", "__r1")
+        )
+        df = survivors
     out = (
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)

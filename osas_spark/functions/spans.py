@@ -12,14 +12,21 @@ dup_fraction is the fraction of its span occurrences that are
 duplicated. Docs above a threshold get dropped or scrubbed; the
 metric is also the standard memorization-risk audit.
 
-Scale shape: three shuffles, all on pre-aggregated streams —
+Scale shape: four shuffles, all on pre-aggregated streams —
   1. explode spans -> groupBy (span, doc) with map-side partial
      aggregation (the only corpus-width shuffle; intra-doc repeats
      collapse before the exchange);
-  2. a window sum over the span key turns per-doc counts into global
-     counts without a self-join (one exchange on span, reused by
-     Catalyst where partitioning already matches);
-  3. groupBy doc rolls up the per-doc stats (rows = docs x distinct
+  2. groupBy span -> global totals (two-level aggregation, partial
+     combine absorbs hot spans);
+  3. join the per-doc stream with the totals on span. Deliberately a
+     JOIN, not a window sum: a corpus-wide boilerplate span (the
+     normal worst case — license headers, generated-file banners)
+     funnels every one of its rows into a single task under
+     Window.partitionBy(span), and AQE cannot split skewed windows —
+     but it CAN split the big side of a skewed sort-merge join
+     (spark.sql.adaptive.skewJoin), so the join shape degrades
+     gracefully where the window shape straggles or OOMs;
+  4. groupBy doc rolls up the per-doc stats (rows = docs x distinct
      spans, width = a hash + two longs).
 Span keys can be hashed (`hash_spans=True`, xxhash64) so the shuffle
 carries 8 bytes instead of k words — the scale default; raw span
@@ -35,7 +42,7 @@ decontamination all agree on what a "span" is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -73,8 +80,8 @@ def duplicated_span_stats(
     per_doc = occ.groupBy("__span", id_col).agg(
         F.count(F.lit(1)).alias("__m")
     )
-    tot = F.sum("__m").over(Window.partitionBy("__span"))
-    flagged = per_doc.withColumn("__tot", tot)
+    totals = per_doc.groupBy("__span").agg(F.sum("__m").alias("__tot"))
+    flagged = per_doc.join(totals, on="__span")
     return (
         flagged.groupBy(id_col)
         .agg(

@@ -202,3 +202,22 @@ def test_cap_per_group_bad_params(spark):
         cap_per_group(df, ["grp"], ["id"], k=0)
     with _pt.raises(ValueError, match="order_cols"):
         cap_per_group(df, ["grp"], [], k=1)
+
+
+def test_cap_per_group_salted_equals_plain(spark):
+    """The two-phase salted top-k must reproduce the one-phase window
+    exactly — rows AND rank values — on a skewed frame (one group
+    holds 90% of rows, guaranteeing multi-bucket salting)."""
+    from osas_spark.functions.sampling import cap_per_group
+
+    rows = [("hot", i, float((i * 7) % 50)) for i in range(900)] + \
+           [("cold", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    order = [F.col("score").desc(), F.col("id")]
+    plain = {(r["grp"], r["id"], r["group_rank"]) for r in
+             cap_per_group(df, ["grp"], order, k=7, keep_rank=True).collect()}
+    for s in (1, 4, 16):
+        salted = {(r["grp"], r["id"], r["group_rank"]) for r in
+                  cap_per_group(df, ["grp"], order, k=7, keep_rank=True,
+                                salt_buckets=s).collect()}
+        assert salted == plain, s
