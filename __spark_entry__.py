@@ -1300,6 +1300,57 @@ FROM w GROUP BY doc_id
 """
 
 
+def _scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span scrubbing — the action to dup_spans' signal: drop every
+    token covered by an 8-token span occurring >= 2 times corpus-wide
+    (functions/spans.py scrub_duplicated_spans; hash-set array_except
+    coverage rebuild, O(tokens + hits*k) per row). Oracle: full SQL
+    replay of the coverage arithmetic."""
+    from osas_spark.functions.spans import scrub_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_duplicated_spans(docs, "text", k=8)
+
+
+_SCRUB_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([{'s': i - 1, 'sp': array_to_string(toks[i:i+7], ' ')}
+                 for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS u
+  FROM t
+),
+gg AS (SELECT doc_id, u.s AS start, u.sp AS span FROM g),
+dup AS (SELECT span FROM gg GROUP BY span HAVING count(*) >= 2),
+st AS (SELECT doc_id, list(start) AS starts
+       FROM gg JOIN dup USING (span) GROUP BY doc_id),
+j AS (
+  SELECT t.doc_id, t.toks, coalesce(st.starts, []) AS starts
+  FROM t LEFT JOIN st ON st.doc_id = t.doc_id
+),
+cov AS (
+  SELECT doc_id, toks,
+         flatten([generate_series(s, least(s + 7, len(toks) - 1))
+                  for s in starts]) AS covered
+  FROM j
+)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB but array_join([]) is ''
+       -- in Spark; documents.text is non-null so coalesce is exact
+       coalesce(
+         array_to_string([toks[p + 1] for p in generate_series(0, len(toks) - 1)
+                          if NOT list_contains(covered, p)], ' '), '')
+         AS scrubbed_text,
+       CAST(len([p for p in generate_series(0, len(toks) - 1)
+                 if NOT list_contains(covered, p)]) AS BIGINT)
+         AS n_kept_tokens
+FROM cov
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -2892,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_secrets": _redact_secrets,
         "chunk_documents": _chunk_documents,
         "dup_spans": _dup_spans,
+        "scrub_spans": _scrub_spans,
         "cap_per_source": _cap_per_source,
         "incremental_secret_scan": _incremental_secret_scan,
         "curation_audit": _curation_audit,
@@ -2962,6 +3014,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_secrets": _build_redact_secrets_sql(),
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "scrub_spans": _SCRUB_SPANS_SQL,
         "cap_per_source": _CAP_PER_SOURCE_SQL,
         "incremental_secret_scan": _build_incremental_secret_scan_sql(),
         "curation_audit": _build_curation_audit_sql(),

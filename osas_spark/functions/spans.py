@@ -96,6 +96,83 @@ def duplicated_span_stats(
     )
 
 
+def scrub_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "scrubbed_text",
+) -> DataFrame:
+    """The ACTION to duplicated_span_stats' signal: remove every token
+    covered by a span occurring >= min_count times corpus-wide — the
+    Lee et al. substring-dedup step itself (they drop one occurrence's
+    span; the distributed k-gram relaxation drops covered tokens).
+    Output: id_col, out_col (rebuilt text), n_kept_tokens.
+
+    The rebuild is coverage arithmetic in pure JVM expressions:
+    covered = flatten(per-start sequence), kept = array_except(all
+    positions, covered) — array_except is hash-set based in Spark, so
+    the per-row cost is O(n_tokens + n_dup_starts * k), not the
+    O(n^2) a per-token exists() scan would be. Per-row arrays are
+    bounded by the document's own token count.
+
+    Output text is in the span convention's normalized token space
+    (lowercased, single-space joined) — the same normalization
+    duplicated_span_stats measures in. Note scrubbing is ONE round,
+    not a fixpoint: identical docs scrub to identical remainders,
+    which are themselves still duplicates (exact dedup, upstream in
+    every pipeline here, is the right tool for those; span scrubbing
+    targets partial boilerplate overlap).
+
+    Scale shape: the same aggregation shuffles as
+    duplicated_span_stats plus one join of (id, start) hits back to
+    the docs — the hit stream carries two longs per duplicated span
+    occurrence, never content."""
+    if k <= 0:
+        raise ValueError(f"scrub_duplicated_spans: k must be positive, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"scrub_duplicated_spans: min_count must be >= 2, got {min_count}"
+        )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(_span_occurrences(text_col, k)).alias("__start", "__span"),
+    )
+    dup_spans_keys = (
+        occ.groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__tot"))
+        .where(F.col("__tot") >= min_count)
+        .select("__span")
+    )
+    starts = (
+        occ.join(dup_spans_keys, on="__span")
+        .groupBy(id_col)
+        .agg(F.collect_list("__start").alias("__starts"))
+    )
+    with_starts = df.join(starts, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    n = F.size(toks)
+    covered = F.flatten(
+        F.transform(
+            F.col("__starts"),
+            lambda s: F.sequence(s, F.least(s + k - 1, n - 1)),
+        )
+    )
+    kept = F.array_except(F.sequence(F.lit(0), n - 1), covered)
+    rebuilt = F.array_join(
+        F.transform(kept, lambda p: F.element_at(toks, p + 1)), " "
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return with_starts.select(
+        *out_cols,
+        rebuilt.alias(out_col),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str,

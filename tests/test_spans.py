@@ -83,3 +83,46 @@ def test_bad_params_raise(spark):
         duplicated_span_stats(df, "text", k=0)
     with pytest.raises(ValueError, match="min_count"):
         duplicated_span_stats(df, "text", min_count=1)
+
+
+def _py_scrub(docs, k, min_count):
+    """Python replay: positions covered by any span with global count
+    >= min_count are dropped; text rebuilt in normalized token space."""
+    all_spans = Counter(s for _, t in docs for s in _py_spans(t, k))
+    out = {}
+    for doc_id, t in docs:
+        toks = t.strip().lower().split()
+        spans = _py_spans(t, k)
+        covered = set()
+        for start, s in enumerate(spans):
+            if all_spans[s] >= min_count:
+                covered.update(range(start, min(start + k, len(toks))))
+        kept = [toks[p] for p in range(len(toks)) if p not in covered]
+        out[doc_id] = (" ".join(kept), len(kept))
+    return out
+
+
+def test_scrub_matches_python_replay(spark):
+    from osas_spark.functions.spans import scrub_duplicated_spans
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    for k in (3, 4, 8):
+        got = {r["doc_id"]: (r["scrubbed_text"], r["n_kept_tokens"])
+               for r in scrub_duplicated_spans(df, "text", k=k).collect()}
+        assert got == _py_scrub(_DOCS, k, 2), k
+
+
+def test_scrub_shapes(spark):
+    from osas_spark.functions.spans import scrub_duplicated_spans
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           scrub_duplicated_spans(df, "text", k=3).collect()}
+    # doc 3 (pure repetition) is fully scrubbed
+    assert got[3]["scrubbed_text"] == "" and got[3]["n_kept_tokens"] == 0
+    # doc 2 (fully unique) survives intact in normalized space
+    assert got[2]["scrubbed_text"] == _DOCS[2][1]
+    # docs 0/1 lose their shared prefix region but keep unique tails
+    assert "lazy dog" in got[0]["scrubbed_text"]
+    assert "sleeping cat" in got[1]["scrubbed_text"]
+    assert "quick" not in got[0]["scrubbed_text"]
