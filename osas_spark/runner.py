@@ -69,6 +69,55 @@ def cmd_score(args) -> None:
         sys.exit(2)
 
 
+def cmd_audit(args) -> None:
+    """Credential audit over a snapshot — full scan, or incremental
+    (scan only files changed vs --previous, carrying --prior-findings;
+    provably identical to the full rescan, see checks/delta.py). The
+    deploy shape for 10^12-file tables: the nightly job passes
+    yesterday's snapshot + findings and pays churn cost only."""
+    from osas_spark.checks.delta import incremental_findings
+    from osas_spark.checks.secrets import scan_secrets, secret_verdicts
+
+    spark = get_spark(app_name="osas_audit", master=args.master)
+    key_cols = tuple(args.key_cols.split(","))
+    new = _read(spark, args.input)
+
+    def with_digest(df):
+        if args.digest_col in df.columns:
+            return df
+        return df.withColumn(args.digest_col, F.md5(F.col(args.content_col)))
+
+    def scan(df):
+        return scan_secrets(df, args.content_col, id_cols=key_cols)
+
+    if args.previous:
+        if not args.prior_findings:
+            raise SystemExit("audit: --previous requires --prior-findings")
+        findings = incremental_findings(
+            _read(spark, args.prior_findings),
+            with_digest(_read(spark, args.previous)),
+            with_digest(new),
+            scan,
+            key_cols=key_cols,
+            digest_col=args.digest_col,
+        )
+        mode = "incremental"
+    else:
+        findings = scan(new)
+        mode = "full"
+    findings = findings.persist()
+    findings.write.mode("overwrite").parquet(args.findings)
+    if args.verdicts:
+        secret_verdicts(
+            findings, partition_cols=key_cols[:1], file_cols=key_cols
+        ).write.mode("overwrite").parquet(args.verdicts)
+    n = findings.count()
+    findings.unpersist()
+    print(json.dumps({"status": "audited", "mode": mode, "findings": n}))
+    if args.fail_on_findings and n:
+        sys.exit(3)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="osas_spark.runner")
     p.add_argument("--master", default=None)
@@ -89,6 +138,20 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--scored", default=None)
     s.add_argument("--fail-on-violation", action="store_true")
     s.set_defaults(fn=cmd_score)
+
+    a = sub.add_parser(
+        "audit", help="secrets scan: full, or incremental vs --previous"
+    )
+    a.add_argument("--input", required=True)
+    a.add_argument("--previous", default=None)
+    a.add_argument("--prior-findings", dest="prior_findings", default=None)
+    a.add_argument("--findings", required=True)
+    a.add_argument("--verdicts", default=None)
+    a.add_argument("--content-col", dest="content_col", default="content")
+    a.add_argument("--key-cols", dest="key_cols", default="repo,path")
+    a.add_argument("--digest-col", dest="digest_col", default="content_sha256")
+    a.add_argument("--fail-on-findings", action="store_true")
+    a.set_defaults(fn=cmd_audit)
 
     args = p.parse_args(argv)
     # argparse puts --master on the namespace for both subcommands
