@@ -51,6 +51,9 @@ BIG_HEADLINE = [
     "dedup_embedding",
     "decontaminate",
     "pack_sequences",
+    "dup_spans",        # gram-stream aggregation + AQE-splittable join
+    "scrub_spans",      # dup detection + coverage rebuild + content join
+    "secret_scan",      # zero-shuffle regex scan over 10x content bytes
 ]
 
 HEADLINE = [
