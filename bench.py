@@ -35,6 +35,29 @@ BIG_K = int(os.environ.get("SPARK_GRAFT_BIG_K", "10"))
 BIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".bench", f"big_k{BIG_K}")
 
+# Queries whose ROW COUNT does not depend on their expensive payload
+# columns: under plain count() Catalyst prunes the payload projection
+# (redact's chained regexp_replace, scrub's coverage rebuild, chunk's
+# array_join) and the "measurement" times an empty shell. These
+# materialize via a checksum aggregate over every output column
+# instead — count() stays the materializer everywhere else for
+# comparability with BENCH_r1-r3.
+CHECKSUM_MATERIALIZE = {"redact_secrets", "scrub_spans", "chunk_documents"}
+
+
+def _materialize(df, name: str) -> int:
+    import pyspark.sql.functions as F
+
+    if name in CHECKSUM_MATERIALIZE:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing 64-bit hashes overflows ANSI longs
+            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+        ).collect()[0]
+        return row["n"]
+    return df.count()  # full materialization of the plan
+
+
 # the big tier runs only queries whose sf0.1 time is >= ~1s — the ones
 # where a regression could hide in the noise floor; sub-second queries
 # get no extra signal from 10x data that the small tier doesn't show
@@ -171,7 +194,7 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()  # full materialization of the plan
+        n = _materialize(df, name)
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
@@ -198,7 +221,7 @@ def main() -> None:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, BIG_DIR)
-            n = df.count()
+            n = _materialize(df, name)
             big_times[name] = round(time.perf_counter() - t0, 3)
             print(f"# big/{name}: {big_times[name]}s ({n} rows)", file=sys.stderr)
         result["big"] = {
