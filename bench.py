@@ -122,6 +122,7 @@ _BIG_ID_COLS = {
     "embeddings": ["vec_id"],
 }
 _BIG_OFFSET = 100_000_000
+_BIG_FILES = 32  # files per scaled table — see the write-side comment
 
 
 def ensure_big_fixture(spark, src: str, dst: str, k: int) -> None:
@@ -136,7 +137,7 @@ def ensure_big_fixture(spark, src: str, dst: str, k: int) -> None:
     # SPARK_GRAFT_SF_DIR must rebuild, not silently reuse 10x data
     # derived from a different source
     marker = os.path.join(dst, "_DONE")
-    stamp = f"src={os.path.abspath(src)} k={k}"
+    stamp = f"src={os.path.abspath(src)} k={k} files={_BIG_FILES}"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == stamp:
@@ -158,7 +159,15 @@ def ensure_big_fixture(spark, src: str, dst: str, k: int) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        # write one file per core: a production 100 TB input arrives in
+        # thousands of splits, but a k-replica union of a compressed
+        # sf0.1 table lands under the 4m split size as a handful of
+        # files, collapsing every scan (and the explode-heavy document
+        # queries especially) onto ~5 of 32 cores — a fixture artifact,
+        # not an engine property
+        out.repartition(_BIG_FILES).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
     for t in ("region", "nation"):  # pure dims: not scaled
         spark.read.parquet(f"{src}/{t}.parquet").write.mode(
             "overwrite"
@@ -214,6 +223,13 @@ def main() -> None:
 
     if BIG:
         ensure_big_fixture(spark, SF_DIR, BIG_DIR, BIG_K)
+        # one split per fixture file (they are ~0.2-3 MB): with the
+        # session's 4m/512k the 32 small document files still pack into
+        # ~5 splits and the explode-heavy scans starve 32-core
+        # parallelism; these are runtime-settable SQL confs, so the
+        # small tier above keeps the conf set its r1-r3 records used
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
         spark.catalog.clearCache()
         big_rows = spark.read.parquet(f"{BIG_DIR}/lineitem.parquet").count()
         big_times: dict[str, float] = {}

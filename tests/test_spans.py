@@ -102,14 +102,17 @@ def _py_scrub(docs, k, min_count):
     return out
 
 
-def test_scrub_matches_python_replay(spark):
+@pytest.mark.parametrize("hash_spans", [False, True])
+def test_scrub_matches_python_replay(spark, hash_spans):
     from osas_spark.functions.spans import scrub_duplicated_spans
 
     df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
     for k in (3, 4, 8):
         got = {r["doc_id"]: (r["scrubbed_text"], r["n_kept_tokens"])
-               for r in scrub_duplicated_spans(df, "text", k=k).collect()}
-        assert got == _py_scrub(_DOCS, k, 2), k
+               for r in scrub_duplicated_spans(
+                   df, "text", k=k, hash_spans=hash_spans
+               ).collect()}
+        assert got == _py_scrub(_DOCS, k, 2), (k, hash_spans)
 
 
 def test_scrub_shapes(spark):
