@@ -35,27 +35,23 @@ BIG_K = int(os.environ.get("SPARK_GRAFT_BIG_K", "10"))
 BIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".bench", f"big_k{BIG_K}")
 
-# Queries whose ROW COUNT does not depend on their expensive payload
-# columns: under plain count() Catalyst prunes the payload projection
-# (redact's chained regexp_replace, scrub's coverage rebuild, chunk's
-# array_join) and the "measurement" times an empty shell. These
-# materialize via a checksum aggregate over every output column
-# instead — count() stays the materializer everywhere else for
-# comparability with BENCH_r1-r3.
-CHECKSUM_MATERIALIZE = {"redact_secrets", "scrub_spans", "chunk_documents"}
-
-
+# Materialize EVERY output column, not just the row count: under plain
+# count() Catalyst prunes whatever the row count doesn't need — redact's
+# chained regexp_replace, the sha256 pandas UDF, tpch_q1's aggregate
+# values, text_perplexity's NLL math, every pure-projection payload —
+# and the "measurement" times a shell. A systematic count-vs-checksum
+# audit (late round 4) flagged 7 of 24 headline queries as partially or
+# fully pruned, so the checksum is now the uniform materializer; the
+# pruned-vs-honest mapping per query is recorded in BASELINE.md.
 def _materialize(df, name: str) -> int:
     import pyspark.sql.functions as F
 
-    if name in CHECKSUM_MATERIALIZE:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor, not sum: summing 64-bit hashes overflows ANSI longs
-            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
-        ).collect()[0]
-        return row["n"]
-    return df.count()  # full materialization of the plan
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: summing 64-bit hashes overflows ANSI longs
+        F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+    ).collect()[0]
+    return row["n"]
 
 
 # the big tier runs only queries whose sf0.1 time is >= ~1s — the ones
