@@ -1312,6 +1312,62 @@ def _scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicated_spans(docs, "text", k=8)
 
 
+def _scrub_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-faithful span scrubbing: each duplicated 8-token span
+    KEEPS its canonical occurrence (corpus-wide min (doc_id, start))
+    and loses the rest, so one copy of every boilerplate passage
+    survives (functions/spans.py scrub_duplicated_spans
+    keep_first=True — the keeper rides the span-totals aggregate as
+    min(struct), no extra shuffle). Oracle: the scrub_spans SQL replay
+    with a row_number()-over-(doc_id, start) keeper exclusion — an
+    independent formulation of the same canonical choice."""
+    from osas_spark.functions.spans import scrub_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_duplicated_spans(docs, "text", k=8, keep_first=True)
+
+
+_SCRUB_SPANS_KEEP_FIRST_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([{'s': i - 1, 'sp': array_to_string(toks[i:i+7], ' ')}
+                 for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS u
+  FROM t
+),
+gg AS (SELECT doc_id, u.s AS start, u.sp AS span FROM g),
+dup AS (SELECT span FROM gg GROUP BY span HAVING count(*) >= 2),
+r AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, start) AS rn
+  FROM gg JOIN dup USING (span)
+),
+st AS (SELECT doc_id, list(start) AS starts FROM r WHERE rn > 1 GROUP BY doc_id),
+j AS (
+  SELECT t.doc_id, t.toks, coalesce(st.starts, []) AS starts
+  FROM t LEFT JOIN st ON st.doc_id = t.doc_id
+),
+cov AS (
+  SELECT doc_id, toks,
+         flatten([generate_series(s, least(s + 7, len(toks) - 1))
+                  for s in starts]) AS covered
+  FROM j
+)
+SELECT doc_id,
+       coalesce(
+         array_to_string([toks[p + 1] for p in generate_series(0, len(toks) - 1)
+                          if NOT list_contains(covered, p)], ' '), '')
+         AS scrubbed_text,
+       CAST(len([p for p in generate_series(0, len(toks) - 1)
+                 if NOT list_contains(covered, p)]) AS BIGINT)
+         AS n_kept_tokens
+FROM cov
+"""
+
+
 _SCRUB_SPANS_SQL = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
@@ -2946,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "dup_spans": _dup_spans,
         "scrub_spans": _scrub_spans,
+        "scrub_spans_keep_first": _scrub_spans_keep_first,
         "cap_per_source": _cap_per_source,
         "incremental_secret_scan": _incremental_secret_scan,
         "curation_audit": _curation_audit,
@@ -3017,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "scrub_spans": _SCRUB_SPANS_SQL,
+        "scrub_spans_keep_first": _SCRUB_SPANS_KEEP_FIRST_SQL,
         "cap_per_source": _CAP_PER_SOURCE_SQL,
         "incremental_secret_scan": _build_incremental_secret_scan_sql(),
         "curation_audit": _build_curation_audit_sql(),

@@ -104,12 +104,26 @@ def scrub_duplicated_spans(
     min_count: int = 2,
     out_col: str = "scrubbed_text",
     hash_spans: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """The ACTION to duplicated_span_stats' signal: remove every token
     covered by a span occurring >= min_count times corpus-wide — the
     Lee et al. substring-dedup step itself (they drop one occurrence's
     span; the distributed k-gram relaxation drops covered tokens).
     Output: id_col, out_col (rebuilt text), n_kept_tokens.
+
+    `keep_first=True` is the Lee-et-al-faithful variant: each
+    duplicated span KEEPS its canonical occurrence — the corpus-wide
+    minimum (id, start), a deterministic total order independent of
+    partitioning — and only the other occurrences are scrubbed, so one
+    copy of every boilerplate passage survives in the corpus. The
+    canonical occurrence's tokens may still be covered by a DIFFERENT
+    overlapping duplicated span's non-canonical occurrence (inherent
+    to the k-gram relaxation of exact substring dedup); what the flag
+    guarantees is that a span duplicated n times loses n-1 of its
+    occurrences, not n. Cost: the span-totals aggregate additionally
+    carries min(struct(id, start)) — no extra shuffle, same plan
+    shape.
 
     The rebuild is coverage arithmetic in pure JVM expressions:
     covered = flatten(per-start sequence), kept = array_except(all
@@ -150,15 +164,25 @@ def scrub_duplicated_spans(
     )
     if hash_spans:
         occ = occ.withColumn("__span", F.xxhash64("__span"))
+    keep_agg = (
+        [F.min(F.struct(F.col(id_col).alias("i"),
+                        F.col("__start").alias("s"))).alias("__keep")]
+        if keep_first else []
+    )
     dup_spans_keys = (
         occ.groupBy("__span")
-        .agg(F.count(F.lit(1)).alias("__tot"))
+        .agg(F.count(F.lit(1)).alias("__tot"), *keep_agg)
         .where(F.col("__tot") >= min_count)
-        .select("__span")
+        .drop("__tot")
     )
+    hits = occ.join(dup_spans_keys, on="__span")
+    if keep_first:
+        hits = hits.where(
+            ~((F.col(id_col) == F.col("__keep.i"))
+              & (F.col("__start") == F.col("__keep.s")))
+        )
     starts = (
-        occ.join(dup_spans_keys, on="__span")
-        .groupBy(id_col)
+        hits.groupBy(id_col)
         .agg(F.collect_list("__start").alias("__starts"))
     )
     with_starts = df.join(starts, on=id_col, how="left").withColumn(

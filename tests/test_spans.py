@@ -115,6 +115,61 @@ def test_scrub_matches_python_replay(spark, hash_spans):
         assert got == _py_scrub(_DOCS, k, 2), (k, hash_spans)
 
 
+def _py_scrub_keep_first(docs, k, min_count):
+    """Replay: each duplicated span keeps its corpus-wide min
+    (doc_id, start) occurrence; only the others scrub their tokens."""
+    occs = []
+    for doc_id, t in docs:
+        for start, s in enumerate(_py_spans(t, k)):
+            occs.append((s, doc_id, start))
+    counts = Counter(s for s, _, _ in occs)
+    keeper = {}
+    for s, doc_id, start in occs:
+        if counts[s] >= min_count:
+            cur = keeper.get(s)
+            if cur is None or (doc_id, start) < cur:
+                keeper[s] = (doc_id, start)
+    out = {}
+    for doc_id, t in docs:
+        toks = t.strip().lower().split()
+        covered = set()
+        for start, s in enumerate(_py_spans(t, k)):
+            if counts[s] >= min_count and keeper[s] != (doc_id, start):
+                covered.update(range(start, min(start + k, len(toks))))
+        kept = [toks[p] for p in range(len(toks)) if p not in covered]
+        out[doc_id] = (" ".join(kept), len(kept))
+    return out
+
+
+@pytest.mark.parametrize("hash_spans", [False, True])
+def test_scrub_keep_first_matches_python_replay(spark, hash_spans):
+    from osas_spark.functions.spans import scrub_duplicated_spans
+
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    for k in (3, 4, 8):
+        got = {r["doc_id"]: (r["scrubbed_text"], r["n_kept_tokens"])
+               for r in scrub_duplicated_spans(
+                   df, "text", k=k, keep_first=True, hash_spans=hash_spans
+               ).collect()}
+        assert got == _py_scrub_keep_first(_DOCS, k, 2), (k, hash_spans)
+
+
+def test_scrub_keep_first_keeps_one_copy(spark):
+    """Two identical docs: scrub-all erases both, keep-first keeps the
+    lower-id copy intact and erases only the other."""
+    from osas_spark.functions.spans import scrub_duplicated_spans
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    all_gone = {r["doc_id"]: r["n_kept_tokens"] for r in
+                scrub_duplicated_spans(df, "text", k=8).collect()}
+    assert all_gone == {1: 0, 2: 0}
+    kept = {r["doc_id"]: r for r in
+            scrub_duplicated_spans(df, "text", k=8, keep_first=True).collect()}
+    assert kept[1]["scrubbed_text"] == text and kept[1]["n_kept_tokens"] == 8
+    assert kept[2]["scrubbed_text"] == "" and kept[2]["n_kept_tokens"] == 0
+
+
 def test_scrub_shapes(spark):
     from osas_spark.functions.spans import scrub_duplicated_spans
 
