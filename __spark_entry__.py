@@ -918,6 +918,47 @@ FROM events GROUP BY props HAVING count(*) > 1
 """
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an ingest batch against a corpus
+    history: Bloom prefilter (no false negatives) + broadcast-verify of
+    the tiny candidate set, so the history is scanned once and never
+    shuffled (functions/bloomdedup.py). History = even-doc_id half;
+    incoming = odd half (all genuinely new on this fixture) plus every
+    10th history doc re-ingested under a shifted id (a simulated
+    re-crawl — the guaranteed dups). The verdict is exact, so the
+    oracle is a plain SQL left join on the digest."""
+    from osas_spark.functions.bloomdedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    recrawl = history.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    incoming = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).unionByName(
+        recrawl
+    )
+    return incremental_dedup(
+        history, incoming, content_col="text", id_cols=["doc_id"], fpp=0.01
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH history AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM history WHERE doc_id % 10 = 0
+),
+hd AS (SELECT DISTINCT md5(text) AS digest FROM history)
+SELECT i.doc_id,
+       md5(i.text) AS digest,
+       CASE WHEN hd.digest IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict
+FROM incoming i LEFT JOIN hd ON md5(i.text) = hd.digest
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64 signatures have no DuckDB
     replay, but the output is bit-deterministic on the fixture, so the
@@ -3009,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": _robust_outliers,
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
+        "dedup_incremental": _dedup_incremental,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "minhash_overlap": _minhash_overlap,
@@ -3081,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -17,6 +17,9 @@ from osas_spark.functions.sampling import (  # noqa: F401
     sample_fraction, split_column, stratified_sample, mix_corpora,
     upsample_with_replacement,
 )
+from osas_spark.functions.bloomdedup import (  # noqa: F401
+    bloom_params, build_digest_bloom, incremental_dedup,
+)
 from osas_spark.functions.asof import asof_join  # noqa: F401
 from osas_spark.functions.packing import pack_by_budget  # noqa: F401
 from osas_spark.functions.graph import (  # noqa: F401

@@ -1,0 +1,202 @@
+"""Incremental exact dedup of a new snapshot against a huge history,
+with a Bloom-filter prefilter so the history is scanned once and never
+shuffled.
+
+The plain formulation — join every incoming digest against every
+historical digest — shuffles the entire history on every ingest batch.
+At 100 TB of accumulated corpus that join IS the pipeline's cost. The
+classic fix (what Spark's own runtime row-level filtering does for
+joins internally) is a two-step:
+
+  1. PREFILTER: build a Bloom filter over the history's content
+     digests (one history scan, a few bits per document) and probe
+     every incoming digest against it executor-side. Bloom filters
+     have no false negatives, so every miss is PROVABLY new — at a
+     typical ~1-5% overlap plus fpp false positives, >90% of the
+     batch exits here without touching the history again.
+  2. VERIFY: the surviving candidate digests (true dups + fpp-rate
+     false positives) are a tiny set; broadcast THEM to a left-semi
+     join against the history to confirm exactly. History is scanned,
+     never shuffled; nothing quadratic anywhere.
+
+The final verdict is therefore EXACT — the Bloom filter only decides
+who pays for verification, never the answer — which is what makes the
+operator oracle-checkable with a plain SQL anti-join.
+
+Reference parity: the reference dedups a batch against itself
+(src/osas/pipeline row loops); the incremental-against-history form is
+the missing piece a continuously-ingesting deployment needs, same
+digest semantics as functions/dedup.py::exact_duplicates.
+
+Scale notes
+-----------
+- Bits are built per-partition in numpy (mapInPandas: one bitmap row
+  per partition) and OR-folded on the driver. Driver memory is
+  m_bits/8 bytes — ~1.2 MB per million history docs at fpp=1e-2 — and
+  the fold is num_partitions small binaries, not rows. For histories
+  where m_bits/8 outgrows the driver (multi-billion docs), shard the
+  filter by pmod(digest, S) and probe the matching shard; the helper
+  exposes n_items so callers can decide.
+- The probe side stays Arrow-vectorized end-to-end: a pandas_udf
+  parses the hex digests into uint64 pairs and tests k positions with
+  numpy gather/bit-ops — no per-row Python.
+- Kirsch-Mitzenmacher double hashing: k positions derived from the
+  two independent 64-bit halves of the md5 digest, h_i = h1 + i*h2
+  (mod m). Standard construction, preserves the fpp bound.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m_bits, k_hashes) for n items at the target false-
+    positive rate: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    if n_items <= 0:
+        return 64, 1
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"bloom_params: fpp must be in (0,1), got {fpp}")
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
+    k = max(1, int(round(m / n_items * math.log(2))))
+    return m, k
+
+
+def _digest_to_u64_pair(digests: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Split 32-hex-char md5 strings into two independent uint64s."""
+    arr = digests.to_numpy(dtype=object)
+    h1 = np.fromiter(
+        (int(d[:16], 16) for d in arr), dtype=np.uint64, count=len(arr)
+    )
+    h2 = np.fromiter(
+        (int(d[16:], 16) for d in arr), dtype=np.uint64, count=len(arr)
+    )
+    return h1, h2
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(len, k) bit positions via double hashing, all-numpy."""
+    i = np.arange(k, dtype=np.uint64)
+    # uint64 arithmetic wraps mod 2^64, which composes fine with % m
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def build_digest_bloom(
+    history: DataFrame,
+    digest_col: str,
+    n_items: int | None = None,
+    fpp: float = 0.01,
+) -> tuple[bytes, int, int, int]:
+    """One history scan -> (bitmap bytes, m_bits, k_hashes, n_items).
+
+    Each partition builds a local bitmap in numpy and emits ONE binary
+    row; the driver OR-folds num_partitions bitmaps. No digest ever
+    leaves the executors.
+    """
+    src = history.select(F.col(digest_col).alias("digest")).where(
+        F.col("digest").isNotNull()
+    )
+    if n_items is None:
+        n_items = src.count()
+    m, k = bloom_params(n_items, fpp)
+    n_bytes = m // 8
+
+    def _partition_bitmap(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            h1, h2 = _digest_to_u64_pair(pdf["digest"])
+            pos = _positions(h1, h2, k, m).ravel()
+            np.bitwise_or.at(
+                bits, (pos // 8).astype(np.int64),
+                np.left_shift(1, (pos % 8).astype(np.uint8)).astype(np.uint8),
+            )
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = src.mapInPandas(_partition_bitmap, schema="bitmap binary").collect()
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return bitmap.tobytes(), m, k, n_items
+
+
+def incremental_dedup(
+    history: DataFrame,
+    incoming: DataFrame,
+    content_col: str,
+    id_cols: list[str],
+    fpp: float = 0.01,
+    history_rows: int | None = None,
+) -> DataFrame:
+    """Classify every incoming row against the history by exact
+    content digest: (*id_cols, digest, verdict) with verdict in
+    {'new', 'dup'}. Bloom prefilter + broadcast-verify; the verdict
+    is exact regardless of fpp.
+    """
+    spark = incoming.sparkSession
+    digest = F.md5(F.col(content_col).cast("string"))
+    hist = history.select(digest.alias("digest"))
+    inc = incoming.select(*id_cols, digest.alias("digest"))
+
+    bitmap, m, k, _n = build_digest_bloom(
+        hist, "digest", n_items=history_rows, fpp=fpp
+    )
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _might_contain(digests: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        mask = digests.notna().to_numpy()
+        out = np.zeros(len(digests), dtype=bool)
+        if mask.any():
+            h1, h2 = _digest_to_u64_pair(digests[mask])
+            pos = _positions(h1, h2, k, m)
+            hit = bits[(pos // 8).astype(np.int64)] & np.left_shift(
+                1, (pos % 8).astype(np.uint8)
+            ).astype(np.uint8)
+            out[mask] = (hit != 0).all(axis=1)
+        return pd.Series(out)
+
+    flagged = inc.withColumn("bloom_positive", _might_contain(F.col("digest")))
+
+    # Verify: the candidate digest set is |true dups| + ~fpp*|incoming|
+    # — broadcast IT against the history scan (size-gated like every
+    # other model join in the package), so history is read once and
+    # never shuffled. No false negatives: bloom misses skip the join.
+    from osas_spark.joins import broadcast_if_small
+
+    candidates = (
+        flagged.where(F.col("bloom_positive")).select("digest").distinct()
+    )
+    cand_hinted, _ = broadcast_if_small(candidates)
+    confirmed = (
+        hist.join(cand_hinted, on="digest", how="leftsemi")
+        .distinct()
+        .withColumn("in_history", F.lit(True))
+    )
+    conf_hinted, _ = broadcast_if_small(confirmed)
+    out = (
+        flagged.join(conf_hinted, on="digest", how="left")
+        .withColumn(
+            "verdict",
+            F.when(
+                F.col("bloom_positive") & F.col("in_history").isNotNull(),
+                F.lit("dup"),
+            ).otherwise(F.lit("new")),
+        )
+        .select(*id_cols, "digest", "verdict")
+    )
+    return out

@@ -1,0 +1,99 @@
+"""Bloom-prefilter incremental dedup (functions/bloomdedup.py).
+
+Two layers: pure-numpy properties of the filter itself (no false
+negatives — the correctness load-bearing guarantee — and a measured
+false-positive rate near the configured target), then the end-to-end
+operator against a Python-set ground truth on planted dups.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osas_spark.functions.bloomdedup import (
+    bloom_params,
+    build_digest_bloom,
+    incremental_dedup,
+    _digest_to_u64_pair,
+    _positions,
+)
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _probe(bitmap: bytes, m: int, k: int, digests: list[str]) -> np.ndarray:
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+    h1, h2 = _digest_to_u64_pair(pd.Series(digests))
+    pos = _positions(h1, h2, k, m)
+    hit = bits[(pos // 8).astype(np.int64)] & np.left_shift(
+        1, (pos % 8).astype(np.uint8)
+    ).astype(np.uint8)
+    return (hit != 0).all(axis=1)
+
+
+def test_bloom_params_shape():
+    m1, k1 = bloom_params(1000, 0.01)
+    m2, k2 = bloom_params(1000, 0.001)
+    assert m2 > m1 and k2 >= k1  # tighter fpp costs more bits/hashes
+    assert m1 % 64 == 0
+    # n=0 degenerate stays usable
+    assert bloom_params(0, 0.01) == (64, 1)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_no_false_negatives_and_fpp(spark):
+    members = [_md5_hex(f"member-{i}") for i in range(5000)]
+    hist = spark.createDataFrame(
+        [(d,) for d in members], "digest string"
+    ).repartition(8)
+    bitmap, m, k, n = build_digest_bloom(hist, "digest", fpp=0.01)
+    assert n == 5000
+    # every member MUST test positive — bloom misses are declared
+    # provably-new without verification, so a false negative is a
+    # wrong answer, not a performance artifact
+    assert _probe(bitmap, m, k, members).all()
+    # non-members false-positive near the configured rate
+    outsiders = [_md5_hex(f"outsider-{i}") for i in range(20000)]
+    fp = _probe(bitmap, m, k, outsiders).mean()
+    assert fp < 0.03, f"measured fpp {fp:.4f} vs target 0.01"
+
+
+def test_incremental_dedup_exact_verdicts(spark):
+    hist_rows = [(i, f"history doc {i}") for i in range(200)]
+    # incoming: 50 genuinely new + 30 re-ingested history payloads
+    inc_rows = [(1000 + i, f"fresh doc {i}") for i in range(50)] + [
+        (2000 + i, f"history doc {i * 3}") for i in range(30)
+    ]
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    out = incremental_dedup(
+        history, incoming, content_col="text", id_cols=["doc_id"], fpp=0.01
+    ).collect()
+    truth = {t for _, t in hist_rows}
+    got = {r["doc_id"]: r["verdict"] for r in out}
+    assert len(got) == len(inc_rows)
+    for doc_id, text in inc_rows:
+        expect = "dup" if text in truth else "new"
+        assert got[doc_id] == expect, (doc_id, text)
+
+
+def test_incremental_dedup_null_content_is_new(spark):
+    history = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, None), (11, "a")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(
+            history, incoming, "text", ["doc_id"]
+        ).collect()
+    }
+    # NULL content never matches anything (SQL join semantics)
+    assert out == {10: "new", 11: "dup"}
