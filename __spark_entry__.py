@@ -959,6 +959,163 @@ FROM incoming i LEFT JOIN hd ON md5(i.text) = hd.digest
 """
 
 
+def _schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative schema-contract validation (checks/schema.py): a
+    ColumnSpec contract graded structurally from df.schema (zero Spark
+    jobs) plus one fused aggregation pass for the row-level counters
+    (NULL in a nullable=False column, try_cast failures in a column
+    delivered as string but declared richer). The fixture is clean, so
+    the query plants deterministic dirt the oracle replays exactly:
+    value NULLed on event_id%97, a stringified amount with 'N/A' on
+    event_id%13, a contract that declares ts wrong (type_mismatch),
+    session_id absent (missing), and strict mode so the undeclared
+    props column reports as extra. The oracle rebuilds the structural
+    grade from DuckDB's own DESCRIBE of the same derived table — an
+    independent metadata read, not copied literals."""
+    from osas_spark.checks.schema import ColumnSpec, SchemaCheck
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(97)) == 0,
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")).alias("value"),
+        F.when(F.pmod(F.col("event_id"), F.lit(13)) == 0, F.lit("N/A"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("amount_str"),
+        "props",
+    )
+    contract = [
+        ColumnSpec("event_id", "bigint", nullable=False),
+        ColumnSpec("ts", "string", nullable=False),  # actual: timestamp_ntz
+        ColumnSpec("event_type", "string", nullable=False),
+        ColumnSpec("value", "double", nullable=False),  # planted nulls
+        ColumnSpec("amount_str", "double", nullable=False),  # string + 'N/A'
+        ColumnSpec("session_id", "string"),  # absent from the table
+    ]
+    chk = SchemaCheck(contract, strict=True).fit(ev)
+    return chk.report(ev)
+
+
+_SCHEMA_CONTRACT_SQL = """
+WITH dirty AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 13 = 0 THEN 'N/A' ELSE CAST(value AS VARCHAR) END AS amount_str,
+         props
+  FROM events
+),
+actual AS (
+  SELECT column_name AS col,
+         CASE column_type
+           WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+           ELSE lower(column_type) END AS actual_type
+  FROM (DESCRIBE SELECT event_id, ts, event_type,
+          CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+          CASE WHEN event_id % 13 = 0 THEN 'N/A' ELSE CAST(value AS VARCHAR) END AS amount_str,
+          props
+        FROM events)
+),
+contract(col, expected_type, nullable, required) AS (
+  VALUES ('event_id','bigint', FALSE, TRUE),
+         ('ts','string', FALSE, TRUE),
+         ('event_type','string', FALSE, TRUE),
+         ('value','double', FALSE, TRUE),
+         ('amount_str','double', FALSE, TRUE),
+         ('session_id','string', TRUE, TRUE)
+),
+counts AS (
+  SELECT sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nv_event_id,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nv_event_type,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nv_value,
+         sum(CASE WHEN amount_str IS NULL THEN 1 ELSE 0 END) AS nv_amount_str,
+         sum(CASE WHEN amount_str IS NOT NULL AND TRY_CAST(amount_str AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS cv_amount_str
+  FROM dirty
+),
+graded AS (
+  SELECT c.col,
+         CASE WHEN a.actual_type IS NULL THEN CASE WHEN c.required THEN 'missing' ELSE 'absent_ok' END
+              WHEN a.actual_type = c.expected_type THEN 'ok'
+              WHEN a.actual_type = 'string' AND c.expected_type <> 'string' THEN 'coercible'
+              ELSE 'type_mismatch' END AS status,
+         c.expected_type, a.actual_type, c.nullable
+  FROM contract c LEFT JOIN actual a ON c.col = a.col
+),
+rowed AS (
+  SELECT g.col, g.status, g.expected_type, g.actual_type,
+         CAST(CASE WHEN g.status IN ('ok','coercible') AND NOT g.nullable THEN
+              CASE g.col WHEN 'event_id' THEN (SELECT nv_event_id FROM counts)
+                         WHEN 'event_type' THEN (SELECT nv_event_type FROM counts)
+                         WHEN 'value' THEN (SELECT nv_value FROM counts)
+                         WHEN 'amount_str' THEN (SELECT nv_amount_str FROM counts)
+                         ELSE 0 END
+              ELSE 0 END AS BIGINT) AS null_violations,
+         CAST(CASE WHEN g.status = 'coercible' AND g.col = 'amount_str'
+                   THEN (SELECT cv_amount_str FROM counts) ELSE 0 END AS BIGINT) AS cast_violations
+  FROM graded g
+  UNION ALL
+  SELECT a.col, 'extra', NULL, a.actual_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM actual a WHERE a.col NOT IN (SELECT col FROM contract)
+)
+SELECT col AS "column", status, expected_type, actual_type, null_violations, cast_violations,
+       CASE WHEN status IN ('missing','type_mismatch','extra') OR null_violations > 0 OR cast_violations > 0
+            THEN 'fail' ELSE 'pass' END AS verdict
+FROM rowed
+"""
+
+
+def _fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency constraint (checks/fd.py): o_custkey ->
+    segment must be single-valued. The fixture has no natural FD, so
+    segment is derived deterministically from o_custkey (holds by
+    construction) and perturbed on o_orderkey%211 (the planted
+    breaks). fit = one distinct-pair shuffle bounded by key-value
+    cardinality; apply = size-gated broadcast of the violating keys.
+    Returns every row of every broken key — the full fit+apply path,
+    exactly replayed by the oracle's GROUP BY/HAVING + join."""
+    from osas_spark.checks.fd import FunctionalDependencyCheck
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(211)) == 0, F.lit("ANOM"))
+        .otherwise(
+            F.concat(
+                F.lit("SEG_"),
+                F.pmod(F.col("o_custkey"), F.lit(7)).cast("string"),
+            )
+        )
+        .alias("segment"),
+    )
+    chk = FunctionalDependencyCheck(["o_custkey"], "segment").fit(base)
+    labeled = chk.apply(base)
+    return labeled.where(F.size(F.col(chk.label_col)) > 0).select(
+        "o_orderkey", "o_custkey", "segment"
+    )
+
+
+_FD_VIOLATIONS_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 211 = 0 THEN 'ANOM'
+              ELSE 'SEG_' || CAST(o_custkey % 7 AS VARCHAR) END AS segment
+  FROM orders
+),
+bad AS (
+  SELECT o_custkey FROM (SELECT DISTINCT o_custkey, segment FROM base)
+  GROUP BY o_custkey HAVING count(*) > 1
+)
+SELECT b.o_orderkey, b.o_custkey, b.segment
+FROM base b JOIN bad USING (o_custkey)
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64 signatures have no DuckDB
     replay, but the output is bit-deterministic on the fixture, so the
@@ -3051,6 +3208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_sha256": _fingerprint_sha256,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
+        "schema_contract": _schema_contract,
+        "fd_violations": _fd_violations,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "minhash_overlap": _minhash_overlap,
@@ -3124,6 +3283,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_sha256": _FINGERPRINT_SHA256_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "schema_contract": _SCHEMA_CONTRACT_SQL,
+        "fd_violations": _FD_VIOLATIONS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

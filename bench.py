@@ -101,6 +101,9 @@ HEADLINE = [
     "redact_secrets",      # zero-shuffle chained-replace scrub
     "chunk_documents",     # zero-shuffle token-window chunking
     "dup_spans",           # corpus-wide duplicated-span profile
+    "dedup_incremental",   # Bloom prefilter + broadcast-verify vs history
+    "schema_contract",     # declarative contract grading + fused counters
+    "fd_violations",       # functional-dependency constraint
 ]
 
 

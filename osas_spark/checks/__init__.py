@@ -8,4 +8,6 @@ from osas_spark.checks.drift import DriftCheck  # noqa: F401
 from osas_spark.checks.text import TextCheck  # noqa: F401
 from osas_spark.checks.inference import InferenceCheck, GroupedTrainingSlot  # noqa: F401
 from osas_spark.checks.secrets import SecretsCheck  # noqa: F401
+from osas_spark.checks.schema import SchemaCheck, ColumnSpec  # noqa: F401
+from osas_spark.checks.fd import FunctionalDependencyCheck  # noqa: F401
 from osas_spark.checks.delta import snapshot_delta, delta_summary  # noqa: F401

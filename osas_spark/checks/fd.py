@@ -1,0 +1,149 @@
+"""Functional-dependency check: determinant columns must map to a
+single dependent value.
+
+The constraint "A -> B" (every distinct determinant tuple has exactly
+one non-null dependent value) is the dictionary-consistency invariant
+behind half of real-world referential rot: one path mapping to two
+langs across commits, one brand to two manufacturers, one user to two
+birthdates. The reference has no analogue (its referential reasoning is
+the multinomial pair generator, src/osas/core/label_generators.py);
+this is the declarative constraint form, in the same two-phase Check
+shape as every other validation here.
+
+Phases
+------
+fit(df)    ONE shuffle on the determinant: distinct (determinant,
+           dependent) pairs — the MERGEABLE root state (union +
+           distinct composes across batches/checkpoints, same contract
+           as the A4 stats partials) — then violating keys = pairs
+           grouped once more with count > 1. Both tables live on
+           executors; nothing collects.
+apply(df)  size-gated broadcast join of the violating-key table back
+           onto the rows (joins.broadcast_if_small — degrades to a
+           shuffle join if an FD is catastrophically broken and the
+           key table is huge); matching rows get FD_VIOLATION_<name>.
+
+NULL semantics (documented, SQL-consistent): a NULL determinant
+component exempts the row (no assertion on unknown keys — join
+semantics would never match it anyway); NULL dependents are ignored
+(countDistinct semantics in both Spark and the DuckDB oracle), so a
+key with values {NULL, 'x'} does not violate.
+
+Scale: the pair-distinct shuffle is the whole cost and it is bounded
+by the true (key, value) cardinality, not the row count; the verify
+join is broadcast for any plausibly-healthy table (violations are the
+exception, not the population).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+class FunctionalDependencyCheck(Check):
+    def __init__(
+        self,
+        determinant: list[str],
+        dependent: str,
+        name: str | None = None,
+    ):
+        if not determinant:
+            raise ValueError("FunctionalDependencyCheck: empty determinant")
+        if dependent in determinant:
+            raise ValueError(
+                f"FunctionalDependencyCheck: dependent {dependent!r} is part "
+                f"of the determinant"
+            )
+        self.determinant = list(determinant)
+        self.dependent = dependent
+        self.name = name or f"fd_{'_'.join(determinant)}__{dependent}"
+        self.pairs: DataFrame | None = None
+        self.violating: DataFrame | None = None
+
+    _rederivable_dfs = ("violating",)
+
+    @property
+    def _label(self) -> str:
+        return f"FD_VIOLATION_{self.name}"
+
+    def _derive_violating(self) -> None:
+        assert self.pairs is not None
+        self.violating = (
+            self.pairs.groupBy(*self.determinant)
+            .agg(F.count(F.lit(1)).alias("n_values"))
+            .where(F.col("n_values") > 1)
+        )
+
+    # ------------------------------------------------------------- phase 1
+    def fit(self, df: DataFrame) -> "FunctionalDependencyCheck":
+        det_ok = None
+        for c in self.determinant:
+            cond = F.col(c).isNotNull()
+            det_ok = cond if det_ok is None else (det_ok & cond)
+        self.pairs = (
+            df.where(det_ok & F.col(self.dependent).isNotNull())
+            .select(*self.determinant, self.dependent)
+            .distinct()
+        )
+        self._derive_violating()
+        return self
+
+    def fit_incremental(self, df: DataFrame) -> "FunctionalDependencyCheck":
+        """Merge a new batch into the pair state: union + distinct —
+        order-invariant, so resume ≡ one-shot fit over the union."""
+        assert self.pairs is not None, "call fit() first"
+        more = FunctionalDependencyCheck(
+            self.determinant, self.dependent, name=self.name
+        ).fit(df)
+        self.pairs = self.pairs.unionByName(more.pairs).distinct()
+        self._derive_violating()
+        return self
+
+    # ------------------------------------------------------------- phase 2
+    def apply(self, df: DataFrame) -> DataFrame:
+        assert self.violating is not None, "call fit() first"
+        from osas_spark.joins import broadcast_if_small
+
+        keys = self.violating.select(
+            *self.determinant, F.lit(True).alias("__fd_bad")
+        )
+        hinted, _ = broadcast_if_small(keys)
+        out = df.join(hinted, on=self.determinant, how="left")
+        arr = F.when(
+            F.col("__fd_bad").isNotNull(), F.array(F.lit(self._label))
+        ).otherwise(F.array().cast("array<string>"))
+        return out.withColumn(self.label_col, arr).drop("__fd_bad")
+
+    def violation_labels(self) -> list[str]:
+        return [self._label]
+
+    # -------------------------------------------------------------- report
+    def violating_keys(self) -> DataFrame:
+        """(determinant..., n_values) — one row per broken key."""
+        assert self.violating is not None, "call fit() first"
+        return self.violating
+
+    # -- serialization (checkpoint.py): pairs are the mergeable root -------
+    def df_state(self) -> dict[str, DataFrame]:
+        assert self.pairs is not None, "call fit() first"
+        return {"pairs": self.pairs}
+
+    def small_state(self) -> dict:
+        return {
+            "determinant": self.determinant,
+            "dependent": self.dependent,
+            "name": self.name,
+        }
+
+    def restore_state(
+        self, dfs: dict[str, DataFrame], small: dict
+    ) -> "FunctionalDependencyCheck":
+        self.determinant = small["determinant"]
+        self.dependent = small["dependent"]
+        self.name = small["name"]
+        self.pairs = dfs["pairs"]
+        self._derive_violating()
+        return self

@@ -1,0 +1,211 @@
+"""Declarative schema-contract check — the "schema" half of the north
+rule's "schema + constraint checks".
+
+The reference infers field types per batch and trusts them
+(src/osas/core/datasources.py builds pandas frames straight from the
+source); there is no way to ASSERT that a table still has the shape the
+pipeline was built for, so an upstream schema break surfaces as a crash
+(or worse, silently different stats) mid-run. This check makes the
+expectation explicit: a contract of ColumnSpec rows is validated in two
+layers —
+
+  structural (fit(), metadata-only — ZERO Spark jobs): every declared
+      column is checked for presence and physical type against
+      df.schema. A string column declared as a richer type is not a
+      mismatch but "coercible": ingest formats (CSV, JSON-ish props)
+      legitimately deliver strings, and whether the VALUES conform is a
+      row question, not a metadata one. `strict=True` additionally
+      reports actual columns the contract never mentions ("extra" —
+      the upstream-added-a-column drift signal).
+
+  row-level (apply(), pure column expressions — no Python, no shuffle,
+      fused into whatever scan the suite already runs): NULL in a
+      nullable=False column labels SCHEMA_NULL_<col>; a non-null value
+      in a coercible column that try_cast cannot convert to the
+      declared type labels SCHEMA_CAST_<col>. Both label families are
+      violations, so ValidationSuite turns them into lineage-carrying
+      violation rows and per-partition verdicts like every other check.
+
+report() fuses all row-level counters into ONE aggregation pass (the
+same one-scan shape as drift.schema_drift / autoconfig) and returns the
+O(columns) contract grid — bounded driver state regardless of table
+size.
+
+Scale: structural validation costs nothing at any scale; row checks are
+whole-stage-codegen conditionals on a scan that phase 1 performs
+anyway. Nothing here collects rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One contract row. `dtype` is a Spark simpleString type name
+    (bigint / string / double / timestamp_ntz / ...)."""
+
+    name: str
+    dtype: str
+    nullable: bool = True
+    required: bool = True
+
+
+def _status(spec: ColumnSpec, actual: str | None) -> str:
+    if actual is None:
+        return "missing" if spec.required else "absent_ok"
+    if actual == spec.dtype:
+        return "ok"
+    if actual == "string" and spec.dtype != "string":
+        # physical string, declared richer: values decide (row-level
+        # try_cast), the structure alone is not a failure
+        return "coercible"
+    return "type_mismatch"
+
+
+class SchemaCheck(Check):
+    """Validate a DataFrame against a declared column contract."""
+
+    def __init__(
+        self,
+        columns: list[ColumnSpec | dict],
+        strict: bool = False,
+        name: str = "schema",
+    ):
+        self.columns = [
+            c if isinstance(c, ColumnSpec) else ColumnSpec(**c) for c in columns
+        ]
+        seen: set[str] = set()
+        for c in self.columns:
+            if c.name in seen:
+                raise ValueError(f"SchemaCheck: duplicate column spec {c.name!r}")
+            seen.add(c.name)
+        self.strict = strict
+        self.name = name
+        self._structural: list[tuple[str, str, str | None, str | None]] | None = None
+
+    # ------------------------------------------------------------- phase 1
+    def fit(self, df: DataFrame) -> "SchemaCheck":
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        rows: list[tuple[str, str, str | None, str | None]] = []
+        for spec in self.columns:
+            rows.append(
+                (
+                    spec.name,
+                    _status(spec, actual.get(spec.name)),
+                    spec.dtype,
+                    actual.get(spec.name),
+                )
+            )
+        if self.strict:
+            declared = {s.name for s in self.columns}
+            for col, typ in actual.items():
+                if col not in declared:
+                    rows.append((col, "extra", None, typ))
+        self._structural = rows
+        return self
+
+    def _row_checks(self) -> list[tuple[ColumnSpec, str, bool, bool]]:
+        """(spec, status, check_null, check_cast) for present columns."""
+        assert self._structural is not None, "call fit() first"
+        status = {r[0]: r[1] for r in self._structural}
+        out = []
+        for spec in self.columns:
+            st = status[spec.name]
+            if st not in ("ok", "coercible"):
+                continue
+            out.append((spec, st, not spec.nullable, st == "coercible"))
+        return out
+
+    # ------------------------------------------------------------- phase 2
+    def apply(self, df: DataFrame) -> DataFrame:
+        labels = []
+        for spec, _st, chk_null, chk_cast in self._row_checks():
+            v = F.col(spec.name)
+            if chk_null:
+                labels.append(
+                    F.when(v.isNull(), F.lit(f"SCHEMA_NULL_{spec.name}"))
+                )
+            if chk_cast:
+                labels.append(
+                    F.when(
+                        v.isNotNull() & v.try_cast(spec.dtype).isNull(),
+                        F.lit(f"SCHEMA_CAST_{spec.name}"),
+                    )
+                )
+        arr = (
+            F.filter(F.array(*labels), lambda x: x.isNotNull())
+            if labels
+            else F.array().cast("array<string>")
+        )
+        return df.withColumn(self.label_col, arr)
+
+    def violation_labels(self) -> list[str]:
+        out = []
+        for spec, _st, chk_null, chk_cast in self._row_checks():
+            if chk_null:
+                out.append(f"SCHEMA_NULL_{spec.name}")
+            if chk_cast:
+                out.append(f"SCHEMA_CAST_{spec.name}")
+        return out
+
+    # -------------------------------------------------------------- report
+    def report(self, df: DataFrame) -> DataFrame:
+        """Full contract grid: (column, status, expected_type,
+        actual_type, null_violations, cast_violations, verdict) — one
+        fused aggregation pass for every row-level counter."""
+        assert self._structural is not None, "call fit() first"
+        aggs = []
+        for spec, _st, chk_null, chk_cast in self._row_checks():
+            v = F.col(spec.name)
+            if chk_null:
+                aggs.append(
+                    F.sum(v.isNull().cast("long")).alias(f"nv__{spec.name}")
+                )
+            if chk_cast:
+                aggs.append(
+                    F.sum(
+                        (v.isNotNull() & v.try_cast(spec.dtype).isNull()).cast("long")
+                    ).alias(f"cv__{spec.name}")
+                )
+        counts = df.agg(*aggs).collect()[0].asDict() if aggs else {}
+        rows = []
+        for col, status, exp, act in self._structural:
+            nv = int(counts.get(f"nv__{col}", 0) or 0)
+            cv = int(counts.get(f"cv__{col}", 0) or 0)
+            fail = status in ("missing", "type_mismatch", "extra") or nv > 0 or cv > 0
+            rows.append((col, status, exp, act, nv, cv, "fail" if fail else "pass"))
+        return df.sparkSession.createDataFrame(
+            rows,
+            "column string, status string, expected_type string, "
+            "actual_type string, null_violations long, cast_violations long, "
+            "verdict string",
+        )
+
+    # -- serialization (checkpoint.py): contract + structural are scalars --
+    def model_dict(self) -> dict:
+        return {
+            "columns": [
+                {
+                    "name": c.name,
+                    "dtype": c.dtype,
+                    "nullable": c.nullable,
+                    "required": c.required,
+                }
+                for c in self.columns
+            ],
+            "strict": self.strict,
+            "structural": self._structural,
+        }
+
+    def load_model(self, d: dict) -> "SchemaCheck":
+        self.columns = [ColumnSpec(**c) for c in d["columns"]]
+        self.strict = d["strict"]
+        self._structural = [tuple(r) for r in d["structural"]]
+        return self

@@ -73,6 +73,20 @@ def build_check(spark: SparkSession, spec: dict):
         return SecretsCheck(
             spec.get("field", "content"), rules=rules, name=spec.get("name")
         )
+    if t == "fd":
+        from osas_spark.checks.fd import FunctionalDependencyCheck
+
+        return FunctionalDependencyCheck(
+            spec["determinant"], spec["dependent"], name=spec.get("name")
+        )
+    if t == "schema":
+        from osas_spark.checks.schema import ColumnSpec, SchemaCheck
+
+        cols = [ColumnSpec(**c) for c in spec["columns"]]
+        return SchemaCheck(
+            cols, strict=spec.get("strict", False),
+            name=spec.get("name", "schema"),
+        )
     if t == "keyword":
         return KeywordCheck(spec["field"], spec["keywords"], name=spec.get("name"))
     if t == "regex":

@@ -32,11 +32,19 @@ Scale notes
 -----------
 - Bits are built per-partition in numpy (mapInPandas: one bitmap row
   per partition) and OR-folded on the driver. Driver memory is
-  m_bits/8 bytes — ~1.2 MB per million history docs at fpp=1e-2 — and
-  the fold is num_partitions small binaries, not rows. For histories
-  where m_bits/8 outgrows the driver (multi-billion docs), shard the
-  filter by pmod(digest, S) and probe the matching shard; the helper
-  exposes n_items so callers can decide.
+  m_bits/8 bytes — ~1.2 MB per million history docs at fpp=1e-2.
+  That envelope ends around 10^10 docs (~12 GB); at the 10^12-file
+  north-star scale no single bitmap fits anywhere. So the filter is
+  CLAMPED to `max_filter_bytes`: past the ideal size the fpp degrades
+  gracefully (more rows pay for verification — never a wrong answer),
+  and once the clamped filter's effective fpp crosses
+  `skip_fpp_threshold` the prefilter is dropped entirely and every
+  incoming digest goes to the verify join, whose broadcast is itself
+  size-gated and degrades to a digest-partitioned shuffle — the
+  correct plan when the overlap set is genuinely huge.
+- n_items for sizing comes from Catalyst's rowCount statistic when the
+  plan exposes one (free), else one count() scan; an inaccurate
+  estimate only moves the fpp, never the verdict.
 - The probe side stays Arrow-vectorized end-to-end: a pandas_udf
   parses the hex digests into uint64 pairs and tests k positions with
   numpy gather/bit-ops — no per-row Python.
@@ -56,17 +64,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
-    """Optimal (m_bits, k_hashes) for n items at the target false-
-    positive rate: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+def bloom_params(
+    n_items: int, fpp: float, max_bytes: int | None = None
+) -> tuple[int, int, float]:
+    """(m_bits, k_hashes, effective_fpp) for n items at the target
+    false-positive rate: m = -n ln p / (ln 2)^2, k = (m/n) ln 2.
+
+    When the ideal m exceeds ``max_bytes*8`` the filter is clamped and
+    k re-derived for the clamped density; the returned effective fpp
+    (1 - e^{-kn/m})^k tells the caller what the clamp cost. Clamping
+    never affects correctness — only how many rows pay for the verify
+    join."""
     if n_items <= 0:
-        return 64, 1
+        return 64, 1, 0.0
     if not (0.0 < fpp < 1.0):
         raise ValueError(f"bloom_params: fpp must be in (0,1), got {fpp}")
     m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    if max_bytes is not None:
+        m = min(m, max_bytes * 8)
     m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
     k = max(1, int(round(m / n_items * math.log(2))))
-    return m, k
+    eff = (1.0 - math.exp(-k * n_items / m)) ** k
+    return m, k, eff
+
+
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's rowCount statistic for the optimized plan, when the
+    source exposes one (parquet footers via CBO, or a LocalRelation);
+    None otherwise. Sizing-only: an estimate moves the bloom's fpp,
+    never the dedup verdict."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(rc.get().longValue())
+    except Exception:
+        pass
+    return None
 
 
 def _digest_to_u64_pair(digests: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -93,19 +127,23 @@ def build_digest_bloom(
     digest_col: str,
     n_items: int | None = None,
     fpp: float = 0.01,
+    max_filter_bytes: int = 256 * 1024 * 1024,
 ) -> tuple[bytes, int, int, int]:
     """One history scan -> (bitmap bytes, m_bits, k_hashes, n_items).
 
     Each partition builds a local bitmap in numpy and emits ONE binary
     row; the driver OR-folds num_partitions bitmaps. No digest ever
-    leaves the executors.
+    leaves the executors. The bitmap never exceeds ``max_filter_bytes``
+    (fpp degrades instead — see bloom_params).
     """
     src = history.select(F.col(digest_col).alias("digest")).where(
         F.col("digest").isNotNull()
     )
     if n_items is None:
+        n_items = _plan_row_count(src)
+    if n_items is None:
         n_items = src.count()
-    m, k = bloom_params(n_items, fpp)
+    m, k, _eff = bloom_params(n_items, fpp, max_bytes=max_filter_bytes)
     n_bytes = m // 8
 
     def _partition_bitmap(batches):
@@ -138,39 +176,67 @@ def incremental_dedup(
     id_cols: list[str],
     fpp: float = 0.01,
     history_rows: int | None = None,
+    max_filter_bytes: int = 256 * 1024 * 1024,
+    skip_fpp_threshold: float = 0.5,
 ) -> DataFrame:
     """Classify every incoming row against the history by exact
     content digest: (*id_cols, digest, verdict) with verdict in
     {'new', 'dup'}. Bloom prefilter + broadcast-verify; the verdict
     is exact regardless of fpp.
+
+    The prefilter is an optimization with a bounded footprint: the
+    bitmap is clamped to ``max_filter_bytes``, and when the history is
+    so large that even the clamped filter's effective fpp exceeds
+    ``skip_fpp_threshold`` (it would pass most rows through anyway),
+    the bloom step is skipped and every non-null digest goes straight
+    to the verify join — still exact, still size-gated, degrading to a
+    digest-partitioned shuffle join at the extreme.
     """
     spark = incoming.sparkSession
     digest = F.md5(F.col(content_col).cast("string"))
     hist = history.select(digest.alias("digest"))
     inc = incoming.select(*id_cols, digest.alias("digest"))
 
-    bitmap, m, k, _n = build_digest_bloom(
-        hist, "digest", n_items=history_rows, fpp=fpp
-    )
-    bc = spark.sparkContext.broadcast(bitmap)
+    src = hist.where(F.col("digest").isNotNull())
+    n = history_rows
+    if n is None:
+        n = _plan_row_count(src)
+    if n is None:
+        n = src.count()
+    _m, _k, eff_fpp = bloom_params(n, fpp, max_bytes=max_filter_bytes)
 
-    from pyspark.sql.functions import pandas_udf
+    if eff_fpp > skip_fpp_threshold:
+        # clamped filter would be noise — all non-null digests are
+        # candidates; exactness comes from the verify join alone
+        flagged = inc.withColumn(
+            "bloom_positive", F.col("digest").isNotNull()
+        )
+    else:
+        bitmap, m, k, _n = build_digest_bloom(
+            hist, "digest", n_items=n, fpp=fpp,
+            max_filter_bytes=max_filter_bytes,
+        )
+        bc = spark.sparkContext.broadcast(bitmap)
 
-    @pandas_udf("boolean")
-    def _might_contain(digests: pd.Series) -> pd.Series:
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
-        mask = digests.notna().to_numpy()
-        out = np.zeros(len(digests), dtype=bool)
-        if mask.any():
-            h1, h2 = _digest_to_u64_pair(digests[mask])
-            pos = _positions(h1, h2, k, m)
-            hit = bits[(pos // 8).astype(np.int64)] & np.left_shift(
-                1, (pos % 8).astype(np.uint8)
-            ).astype(np.uint8)
-            out[mask] = (hit != 0).all(axis=1)
-        return pd.Series(out)
+        from pyspark.sql.functions import pandas_udf
 
-    flagged = inc.withColumn("bloom_positive", _might_contain(F.col("digest")))
+        @pandas_udf("boolean")
+        def _might_contain(digests: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            mask = digests.notna().to_numpy()
+            out = np.zeros(len(digests), dtype=bool)
+            if mask.any():
+                h1, h2 = _digest_to_u64_pair(digests[mask])
+                pos = _positions(h1, h2, k, m)
+                hit = bits[(pos // 8).astype(np.int64)] & np.left_shift(
+                    1, (pos % 8).astype(np.uint8)
+                ).astype(np.uint8)
+                out[mask] = (hit != 0).all(axis=1)
+            return pd.Series(out)
+
+        flagged = inc.withColumn(
+            "bloom_positive", _might_contain(F.col("digest"))
+        )
 
     # Verify: the candidate digest set is |true dups| + ~fpp*|incoming|
     # — broadcast IT against the history scan (size-gated like every

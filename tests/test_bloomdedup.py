@@ -36,14 +36,27 @@ def _probe(bitmap: bytes, m: int, k: int, digests: list[str]) -> np.ndarray:
 
 
 def test_bloom_params_shape():
-    m1, k1 = bloom_params(1000, 0.01)
-    m2, k2 = bloom_params(1000, 0.001)
+    m1, k1, e1 = bloom_params(1000, 0.01)
+    m2, k2, e2 = bloom_params(1000, 0.001)
     assert m2 > m1 and k2 >= k1  # tighter fpp costs more bits/hashes
     assert m1 % 64 == 0
+    assert e1 == pytest.approx(0.01, rel=0.3) and e2 < e1
     # n=0 degenerate stays usable
-    assert bloom_params(0, 0.01) == (64, 1)
+    assert bloom_params(0, 0.01) == (64, 1, 0.0)
     with pytest.raises(ValueError):
         bloom_params(10, 1.5)
+
+
+def test_bloom_params_clamp():
+    # unclamped: ~9.6 bits/item at fpp=0.01 -> 1.2 bytes/item
+    m_free, _, e_free = bloom_params(1_000_000, 0.01)
+    # clamp to a tenth of the ideal: fpp must degrade, size must hold
+    m_cap, _, e_cap = bloom_params(1_000_000, 0.01, max_bytes=m_free // 80)
+    assert m_cap <= m_free // 10 + 64
+    assert e_cap > e_free
+    # absurd clamp (way under 1 bit/item) -> effective fpp ~ 1
+    _, _, e_junk = bloom_params(10_000_000, 0.01, max_bytes=64)
+    assert e_junk > 0.5
 
 
 def test_no_false_negatives_and_fpp(spark):
@@ -80,6 +93,27 @@ def test_incremental_dedup_exact_verdicts(spark):
     for doc_id, text in inc_rows:
         expect = "dup" if text in truth else "new"
         assert got[doc_id] == expect, (doc_id, text)
+
+
+def test_incremental_dedup_skip_path_still_exact(spark):
+    """skip_fpp_threshold=0 forces the no-bloom fallback (the 10^12-
+    history regime where even a clamped filter is noise): every
+    non-null digest becomes a candidate and the verify join alone must
+    produce the exact verdicts."""
+    hist_rows = [(i, f"history doc {i}") for i in range(100)]
+    inc_rows = [(500 + i, f"fresh doc {i}") for i in range(20)] + [
+        (600 + i, f"history doc {i * 5}") for i in range(10)
+    ]
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    out = incremental_dedup(
+        history, incoming, "text", ["doc_id"], skip_fpp_threshold=0.0
+    ).collect()
+    truth = {t for _, t in hist_rows}
+    got = {r["doc_id"]: r["verdict"] for r in out}
+    assert len(got) == len(inc_rows)
+    for doc_id, text in inc_rows:
+        assert got[doc_id] == ("dup" if text in truth else "new")
 
 
 def test_incremental_dedup_null_content_is_new(spark):

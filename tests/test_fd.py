@@ -1,0 +1,113 @@
+"""FunctionalDependencyCheck (osas_spark/checks/fd.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from osas_spark.checks.fd import FunctionalDependencyCheck
+
+
+@pytest.fixture()
+def frame(spark):
+    # repo -> lang should be single-valued; repo 'b' is broken
+    rows = [
+        ("a", "f1", "py"),
+        ("a", "f2", "py"),
+        ("b", "f1", "py"),
+        ("b", "f2", "go"),
+        ("b", "f3", "py"),
+        ("c", "f1", None),   # NULL dependent: ignored
+        ("c", "f2", "rs"),
+        (None, "f1", "py"),  # NULL determinant: exempt
+        (None, "f2", "go"),
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, lang string")
+
+
+def test_ctor_validation():
+    with pytest.raises(ValueError):
+        FunctionalDependencyCheck([], "lang")
+    with pytest.raises(ValueError):
+        FunctionalDependencyCheck(["lang"], "lang")
+
+
+def test_violating_keys(frame):
+    chk = FunctionalDependencyCheck(["repo"], "lang").fit(frame)
+    keys = {(r["repo"], r["n_values"]) for r in chk.violating_keys().collect()}
+    assert keys == {("b", 2)}
+
+
+def test_apply_labels_and_null_semantics(frame):
+    chk = FunctionalDependencyCheck(["repo"], "lang").fit(frame)
+    out = chk.apply(frame)
+    labeled = {
+        (r["repo"], r["path"])
+        for r in out.where(F.size(chk.label_col) > 0).collect()
+    }
+    # every row of the broken key, nothing else — NULL determinant and
+    # NULL-dependent keys never label
+    assert labeled == {("b", "f1"), ("b", "f2"), ("b", "f3")}
+    assert out.where(F.col(chk.label_col).isNull()).count() == 0
+    assert chk.violation_labels() == ["FD_VIOLATION_fd_repo__lang"]
+
+
+def test_multi_column_determinant(spark):
+    rows = [
+        ("r1", "c1", "p", "py"),
+        ("r1", "c2", "p", "go"),  # different commit: independent key, ok
+        ("r2", "c1", "p", "py"),
+        ("r2", "c1", "p", "go"),  # same (repo, commit): broken
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, commit string, path string, lang string"
+    )
+    chk = FunctionalDependencyCheck(["repo", "commit"], "lang").fit(df)
+    keys = {(r["repo"], r["commit"]) for r in chk.violating_keys().collect()}
+    assert keys == {("r2", "c1")}
+
+
+def test_incremental_merge_equals_oneshot(spark, frame):
+    half1 = frame.where(F.col("path") != "f3")
+    half2 = frame.where(F.col("path") == "f3")
+    inc = FunctionalDependencyCheck(["repo"], "lang").fit(half1)
+    # after half1 alone, 'b' has {py, go} -> already violating
+    inc.fit_incremental(half2)
+    one = FunctionalDependencyCheck(["repo"], "lang").fit(frame)
+    assert {tuple(r) for r in inc.violating_keys().collect()} == {
+        tuple(r) for r in one.violating_keys().collect()
+    }
+    a = inc.apply(frame).where(F.size(inc.label_col) > 0).count()
+    b = one.apply(frame).where(F.size(one.label_col) > 0).count()
+    assert a == b == 3
+
+
+def test_checkpoint_roundtrip(spark, frame, tmp_path):
+    from osas_spark.checkpoint import save_suite, load_suite
+    from osas_spark.verdict import ValidationSuite
+
+    suite = ValidationSuite(
+        [FunctionalDependencyCheck(["repo"], "lang")]
+    ).fit(frame)
+    path = str(tmp_path / "ckpt")
+    save_suite(suite, path)
+    restored = load_suite(
+        ValidationSuite([FunctionalDependencyCheck(["repo"], "lang")]),
+        path,
+        spark,
+    )
+    got = restored.checks[0]
+    assert {tuple(r) for r in got.violating_keys().collect()} == {("b", 2)}
+    a = suite.transform(frame).select("labels").collect()
+    b = restored.transform(frame).select("labels").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_config_registry(spark, frame):
+    from osas_spark.config import build_check
+
+    chk = build_check(
+        spark, {"type": "fd", "determinant": ["repo"], "dependent": "lang"}
+    )
+    assert isinstance(chk, FunctionalDependencyCheck)
+    chk.fit(frame)
+    assert chk.violating_keys().count() == 1

@@ -1,0 +1,160 @@
+"""SchemaCheck — declarative schema-contract validation
+(osas_spark/checks/schema.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from osas_spark.checks.schema import ColumnSpec, SchemaCheck
+
+
+@pytest.fixture()
+def frame(spark):
+    # id: clean bigint; name: string with a null; amt: string-typed
+    # numeric with one junk value; extra_col: undeclared
+    rows = [
+        (1, "a", "10.5", "x"),
+        (2, None, "20.0", "y"),
+        (3, "c", "junk", "z"),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, amt string, extra_col string"
+    )
+
+
+CONTRACT = [
+    ColumnSpec("id", "bigint", nullable=False),
+    ColumnSpec("name", "string", nullable=False),
+    ColumnSpec("amt", "double", nullable=False),      # coercible from string
+    ColumnSpec("id", "bigint"),
+]
+
+
+def test_duplicate_spec_rejected():
+    with pytest.raises(ValueError):
+        SchemaCheck(CONTRACT)
+
+
+def _contract():
+    return [
+        ColumnSpec("id", "bigint", nullable=False),
+        ColumnSpec("name", "string", nullable=False),
+        ColumnSpec("amt", "double", nullable=False),
+        ColumnSpec("missing_req", "string"),                  # required, absent
+        ColumnSpec("missing_opt", "string", required=False),  # optional, absent
+        ColumnSpec("extra_col", "bigint"),  # actual string -> coercible
+    ]
+
+
+def test_structural_grades(frame):
+    chk = SchemaCheck(_contract(), strict=True).fit(frame)
+    status = {r[0]: r[1] for r in chk._structural}
+    assert status == {
+        "id": "ok",
+        "name": "ok",
+        "amt": "coercible",
+        "missing_req": "missing",
+        "missing_opt": "absent_ok",
+        "extra_col": "coercible",
+    }
+
+
+def test_type_mismatch_and_extra(spark):
+    df = spark.createDataFrame([(1.5, 2)], "a double, b long")
+    chk = SchemaCheck(
+        [ColumnSpec("a", "bigint")], strict=True
+    ).fit(df)
+    status = {r[0]: r[1] for r in chk._structural}
+    # double declared bigint is NOT coercible (only string is) — it is
+    # a structural mismatch with no row-level checks
+    assert status == {"a": "type_mismatch", "b": "extra"}
+    assert chk.violation_labels() == []
+
+
+def test_apply_labels(frame):
+    chk = SchemaCheck(_contract()).fit(frame)
+    got = {
+        r["id"]: sorted(r[chk.label_col])
+        for r in chk.apply(frame).collect()
+    }
+    # extra_col is declared bigint but delivers 'x'/'y'/'z' — every row
+    # carries its cast violation on top of its own defects
+    assert got[1] == ["SCHEMA_CAST_extra_col"]
+    assert got[2] == ["SCHEMA_CAST_extra_col", "SCHEMA_NULL_name"]
+    assert got[3] == ["SCHEMA_CAST_amt", "SCHEMA_CAST_extra_col"]
+    assert set(chk.violation_labels()) == {
+        "SCHEMA_NULL_id", "SCHEMA_NULL_name", "SCHEMA_NULL_amt",
+        "SCHEMA_CAST_amt", "SCHEMA_CAST_extra_col",
+    }
+
+
+def test_report_counts(frame):
+    chk = SchemaCheck(_contract(), strict=True).fit(frame)
+    rep = {r["column"]: r.asDict() for r in chk.report(frame).collect()}
+    assert len(rep) == 6
+    assert rep["id"]["verdict"] == "pass"
+    assert rep["name"]["null_violations"] == 1
+    assert rep["name"]["verdict"] == "fail"
+    assert rep["amt"]["cast_violations"] == 1
+    assert rep["amt"]["status"] == "coercible"
+    assert rep["missing_req"]["status"] == "missing"
+    assert rep["missing_req"]["verdict"] == "fail"
+    assert rep["missing_opt"]["verdict"] == "pass"
+    # extra_col declared bigint, delivered string, all values junk-free?
+    # 'x','y','z' never cast -> 3 cast violations
+    assert rep["extra_col"]["cast_violations"] == 3
+
+
+def test_suite_integration(spark, frame):
+    from osas_spark.verdict import ValidationSuite
+
+    suite = ValidationSuite([SchemaCheck(_contract())]).fit(frame)
+    out = suite.transform(frame)
+    viol = suite.violations(out, keep_cols=["id"])
+    got = {(r["violation"], r["id"]) for r in viol.collect()}
+    assert ("SCHEMA_NULL_name", 2) in got
+    assert ("SCHEMA_CAST_amt", 3) in got
+
+
+def test_config_registry(spark, frame):
+    from osas_spark.config import build_check
+
+    chk = build_check(
+        spark,
+        {
+            "type": "schema",
+            "strict": True,
+            "columns": [
+                {"name": "id", "dtype": "bigint", "nullable": False},
+                {"name": "amt", "dtype": "double"},
+            ],
+        },
+    )
+    assert isinstance(chk, SchemaCheck) and chk.strict
+    chk.fit(frame)
+    assert {r[0]: r[1] for r in chk._structural}["amt"] == "coercible"
+
+
+def test_model_roundtrip(frame):
+    chk = SchemaCheck(_contract(), strict=True).fit(frame)
+    d = chk.model_dict()
+    import json
+
+    restored = SchemaCheck([ColumnSpec("placeholder", "string")]).load_model(
+        json.loads(json.dumps(d))
+    )
+    assert restored._structural == chk._structural
+    assert restored.violation_labels() == chk.violation_labels()
+    # restored check labels identically without re-fitting
+    a = {r["id"]: sorted(r[chk.label_col]) for r in chk.apply(frame).collect()}
+    b = {
+        r["id"]: sorted(r[restored.label_col])
+        for r in restored.apply(frame).collect()
+    }
+    assert a == b
+
+
+def test_labels_never_null(frame):
+    chk = SchemaCheck([ColumnSpec("id", "bigint")]).fit(frame)
+    out = chk.apply(frame)
+    assert out.where(F.col(chk.label_col).isNull()).count() == 0
