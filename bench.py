@@ -73,6 +73,8 @@ BIG_HEADLINE = [
     "dup_spans",        # gram-stream aggregation + AQE-splittable join
     "scrub_spans",      # dup detection + coverage rebuild + content join
     "secret_scan",      # zero-shuffle regex scan over 10x content bytes
+    "dedup_incremental",  # bloom build over 10x history + probe + verify
+    "fd_violations",    # distinct-pair shuffle over 10x orders
 ]
 
 HEADLINE = [

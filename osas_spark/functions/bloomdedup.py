@@ -238,6 +238,14 @@ def incremental_dedup(
             "bloom_positive", _might_contain(F.col("digest"))
         )
 
+    # persist the probed batch: it feeds BOTH the candidate derivation
+    # and the final verdict join — without this the md5+probe pass over
+    # the incoming batch runs twice (plan-audited in PLANS.md). The
+    # batch is the bounded side (one ingest, not the history).
+    from pyspark import StorageLevel
+
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+
     # Verify: the candidate digest set is |true dups| + ~fpp*|incoming|
     # — broadcast IT against the history scan (size-gated like every
     # other model join in the package), so history is read once and
