@@ -1116,6 +1116,77 @@ FROM base b JOIN bad USING (o_custkey)
 """
 
 
+def _column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level snapshot reconciliation (checks/delta.py::
+    column_diff): which FIELDS changed per key between two snapshots —
+    the attribution layer over snapshot_file_delta's digest membership.
+    The new snapshot is derived deterministically: doc_id%31 rows
+    dropped (deleted), text edited on %17, lang flipped on %23, %41
+    re-added under shifted ids (added). One full-outer sort-merge
+    shuffle on the key over the compared projection; changed_cols is
+    emitted sorted-joined so the hash gate is order-insensitive."""
+    from osas_spark.checks.delta import column_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    edited = docs.where(F.pmod(F.col("doc_id"), F.lit(31)) != 0).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(17)) == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")).alias("text"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(23)) == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    added = docs.where(F.pmod(F.col("doc_id"), F.lit(41)) == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = edited.unionByName(added)
+    out = column_diff(docs, new, ["doc_id"])
+    return out.withColumn(
+        "changed_cols", F.array_join(F.array_sort("changed_cols"), ",")
+    )
+
+
+_COLUMN_DIFF_SQL = """
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text,
+         CASE WHEN doc_id % 23 = 0 THEN 'xx' ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 41 = 0
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS old_p, n.doc_id IS NOT NULL AS new_p,
+         list_filter([
+           CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END,
+           CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+           CASE WHEN o.source IS DISTINCT FROM n.source THEN 'source' END,
+           CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END
+         ], x -> x IS NOT NULL) AS cc
+  FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT old_p THEN 'added' WHEN NOT new_p THEN 'deleted'
+            WHEN len(cc) > 0 THEN 'changed' ELSE 'unchanged' END AS status,
+       CASE WHEN NOT old_p OR NOT new_p THEN ''
+            ELSE array_to_string(list_sort(cc), ',') END AS changed_cols
+FROM j
+WHERE NOT (old_p AND new_p AND len(cc) = 0)
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64 signatures have no DuckDB
     replay, but the output is bit-deterministic on the fixture, so the
@@ -3210,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "schema_contract": _schema_contract,
         "fd_violations": _fd_violations,
+        "column_diff": _column_diff,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "minhash_overlap": _minhash_overlap,
@@ -3285,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "schema_contract": _SCHEMA_CONTRACT_SQL,
         "fd_violations": _FD_VIOLATIONS_SQL,
+        "column_diff": _COLUMN_DIFF_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

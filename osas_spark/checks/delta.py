@@ -69,6 +69,97 @@ def snapshot_delta(
     return out
 
 
+def column_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Column-level reconciliation: for every key, which columns
+    changed between the two snapshots — the attribution layer on top
+    of snapshot_delta's digest membership (use that one when a digest
+    exists and "what changed" doesn't matter; this one answers WHICH
+    fields drifted, e.g. lang flips vs content edits).
+
+    Output: *key_cols, status (added/deleted/changed/unchanged),
+    changed_cols (array<string>, null-safe per-column comparison —
+    NULL vs NULL is equal, NULL vs value is a change).
+
+    Scale shape: ONE full-outer sort-merge shuffle on the keys, sized
+    by the COMPARED projection only (column pruning drops everything
+    else at the scan). Presence is tracked by markers, not key
+    nullness, so legitimately-NULL compare values never misclassify.
+    NULL join keys are dropped on both sides (same contract as
+    snapshot_delta). No Python, no collects; AQE splits hot keys.
+    """
+    key_cols = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    compare_cols = list(compare_cols)
+    if not compare_cols:
+        raise ValueError("column_diff: no compare columns")
+    reserved = {"status", "changed_cols", "__old_present", "__new_present"}
+    reserved |= {f"__old_{c}" for c in compare_cols}
+    reserved |= {f"__new_{c}" for c in compare_cols}
+    clash = reserved & set(key_cols)
+    if clash:
+        raise ValueError(
+            f"column_diff: key columns collide with internal/output "
+            f"names: {sorted(clash)}"
+        )
+    notnull = F.lit(True)
+    for k in key_cols:
+        notnull = notnull & F.col(k).isNotNull()
+    o = old.where(notnull).select(
+        *key_cols,
+        F.lit(True).alias("__old_present"),
+        *[F.col(c).alias(f"__old_{c}") for c in compare_cols],
+    )
+    n = new.where(notnull).select(
+        *key_cols,
+        F.lit(True).alias("__new_present"),
+        *[F.col(c).alias(f"__new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, on=key_cols, how="full_outer")
+    changed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}")),
+                    F.lit(c),
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(F.col("__old_present").isNull(), F.lit("added"))
+        .when(F.col("__new_present").isNull(), F.lit("deleted"))
+        .when(F.size(F.col("changed_cols")) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = (
+        joined.withColumn("changed_cols", changed)
+        .withColumn("status", status)
+        # rows only on one side report no per-column attribution: the
+        # whole row is the change
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("status").isin("added", "deleted"),
+                F.array().cast("array<string>"),
+            ).otherwise(F.col("changed_cols")),
+        )
+        .select(*key_cols, "status", "changed_cols")
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
 def incremental_findings(
     prior_findings: DataFrame,
     old: DataFrame,

@@ -349,3 +349,76 @@ def test_runner_audit_fail_flag_and_arg_validation(spark, tmp_path, capsys):
     with _pt.raises(SystemExit):
         main(["audit", "--input", dirty, "--previous", dirty,
               "--findings", str(tmp_path / "f0")])
+
+
+# ------------------------------------------------- column_diff (r4)
+
+def test_column_diff_statuses_and_attribution(spark):
+    from osas_spark.checks.delta import column_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha", "py"),
+            (2, "beta", "go"),
+            (3, "gamma", "rs"),
+            (4, "delta", None),
+            (5, "same", "c"),
+        ],
+        "id long, body string, lang string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha", "py"),        # unchanged
+            (2, "beta2", "go"),        # body changed
+            (3, "gamma2", "java"),     # both changed
+            (4, "delta", None),        # unchanged (NULL <=> NULL)
+            (6, "new", "zig"),         # added
+        ],
+        "id long, body string, lang string",
+    )
+    out = {
+        r["id"]: (r["status"], sorted(r["changed_cols"]))
+        for r in column_diff(old, new, ["id"]).collect()
+    }
+    assert out == {
+        2: ("changed", ["body"]),
+        3: ("changed", ["body", "lang"]),
+        5: ("deleted", []),
+        6: ("added", []),
+    }
+
+
+def test_column_diff_null_vs_value_is_change(spark):
+    from osas_spark.checks.delta import column_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, v string")
+    new = spark.createDataFrame([(1, "x")], "id long, v string")
+    rows = column_diff(old, new, ["id"]).collect()
+    assert [(r["status"], list(r["changed_cols"])) for r in rows] == [
+        ("changed", ["v"])
+    ]
+
+
+def test_column_diff_include_unchanged_and_validation(spark):
+    import pytest as _pt
+
+    from osas_spark.checks.delta import column_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    got = column_diff(df, df, ["id"], include_unchanged=True).collect()
+    assert [(r["status"], list(r["changed_cols"])) for r in got] == [
+        ("unchanged", [])
+    ]
+    with _pt.raises(ValueError):
+        column_diff(df, df, ["id", "v"])  # nothing left to compare
+    with _pt.raises(ValueError):
+        column_diff(df, df, ["status"], compare_cols=["v"])
+
+
+def test_column_diff_null_keys_dropped(spark):
+    from osas_spark.checks.delta import column_diff
+
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "id long, v string")
+    new = spark.createDataFrame([(None, "zzz"), (1, "b")], "id long, v string")
+    # the NULL-keyed rows never pair up NOR appear as add/delete noise
+    assert column_diff(old, new, ["id"]).count() == 0
