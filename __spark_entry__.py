@@ -1187,6 +1187,70 @@ WHERE NOT (old_p AND new_p AND len(cc) = 0)
 """
 
 
+def _completeness_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition completeness ceilings (checks/completeness.py):
+    null RATE per (event_type, column) must stay under contract even
+    when each null row is individually legal. Nulls planted at
+    per-partition rates — click ~20% (breaches the 0.9 floor), error
+    ~2%, rest ~1% (pass), props untouched (1.0) — so the verdict grid
+    exercises both outcomes. One fused agg pass; O(partitions x
+    columns) result."""
+    from osas_spark.checks.completeness import CompletenessCheck
+
+    divisor = (
+        F.when(F.col("event_type") == "click", F.lit(5))
+        .when(F.col("event_type") == "error", F.lit(50))
+        .otherwise(F.lit(100))
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.pmod(F.col("event_id"), divisor) == 0,
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")).alias("value"),
+        "props",
+    )
+    chk = CompletenessCheck(
+        ["value", "props"], min_completeness=0.9, part_col="event_type"
+    ).fit(ev)
+    v = chk.partition_verdicts()
+    return v.select(
+        "event_type",
+        "column",
+        "n",
+        "nulls",
+        F.round("completeness", 4).alias("completeness"),
+        "breached",
+    )
+
+
+_COMPLETENESS_SQL = """
+WITH dirty AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % (CASE event_type WHEN 'click' THEN 5
+                                WHEN 'error' THEN 50 ELSE 100 END) = 0
+              THEN NULL ELSE value END AS value,
+         props
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*) AS n, count(value) AS nn_value,
+         count(props) AS nn_props
+  FROM dirty GROUP BY event_type
+)
+SELECT event_type, 'value' AS "column", n, n - nn_value AS nulls,
+       round(CAST(nn_value AS DOUBLE) / n, 4) AS completeness,
+       CAST(nn_value AS DOUBLE) / n < 0.9 AS breached
+FROM g
+UNION ALL
+SELECT event_type, 'props' AS "column", n, n - nn_props AS nulls,
+       round(CAST(nn_props AS DOUBLE) / n, 4) AS completeness,
+       CAST(nn_props AS DOUBLE) / n < 0.9 AS breached
+FROM g
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64 signatures have no DuckDB
     replay, but the output is bit-deterministic on the fixture, so the
@@ -3282,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_contract": _schema_contract,
         "fd_violations": _fd_violations,
         "column_diff": _column_diff,
+        "completeness_verdicts": _completeness_verdicts,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "minhash_overlap": _minhash_overlap,
@@ -3358,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_contract": _SCHEMA_CONTRACT_SQL,
         "fd_violations": _FD_VIOLATIONS_SQL,
         "column_diff": _COLUMN_DIFF_SQL,
+        "completeness_verdicts": _COMPLETENESS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

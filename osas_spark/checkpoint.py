@@ -39,7 +39,7 @@ from osas_spark.verdict import ValidationSuite
 
 # checks whose state derives from the dataset being validated (not a
 # training profile) must re-fit after restore
-_DATA_DEPENDENT = ("UniquenessCheck", "DriftCheck")
+_DATA_DEPENDENT = ("UniquenessCheck", "DriftCheck", "CompletenessCheck")
 
 
 def save_suite(suite: ValidationSuite, path: str, metrics: dict | None = None) -> None:

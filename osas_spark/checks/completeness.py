@@ -1,0 +1,141 @@
+"""Completeness constraint: per-partition null-rate ceilings.
+
+SchemaCheck's nullable=False labels EVERY null row — the right tool
+when the contract says "never null". Real pipelines mostly have the
+weaker contract "mostly present": an optional field whose null rate
+jumps from 1% to 40% in one ingest partition is an upstream break even
+though each null row is individually legal. This check asserts
+completeness(col) = non-null fraction >= min_completeness per
+partition (or globally), the aggregate form — same shape as Deequ's
+hasCompleteness, reimagined in the package's two-phase Check contract.
+
+fit()   ONE fused aggregation pass: count(1) + count(col) for every
+        watched column, grouped by the partition column when given —
+        a grid of O(partitions x columns) rows, never raw data.
+apply() broadcast-joins the (tiny) breached-partition set back; rows
+        that are NULL in a breached (partition, column) get
+        COMPLETENESS_<col>. Nulls in healthy partitions do NOT label —
+        they are within contract; that precision is what separates
+        this from SchemaCheck's hard nullable=False.
+
+Like UniquenessCheck/DriftCheck, the fitted state derives from the
+dataset being validated, so checkpoint.py re-fits it on restore
+(_DATA_DEPENDENT) rather than persisting a stale profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osas_spark.checks.base import Check
+
+
+class CompletenessCheck(Check):
+    def __init__(
+        self,
+        cols: list[str],
+        min_completeness: float = 0.99,
+        part_col: str | None = None,
+        name: str | None = None,
+    ):
+        if not cols:
+            raise ValueError("CompletenessCheck: empty column list")
+        if not (0.0 < min_completeness <= 1.0):
+            raise ValueError(
+                f"CompletenessCheck: min_completeness must be in (0,1], "
+                f"got {min_completeness}"
+            )
+        if part_col in cols:
+            raise ValueError(
+                f"CompletenessCheck: partition column {part_col!r} cannot "
+                f"also be watched"
+            )
+        self.cols = list(cols)
+        self.min_completeness = min_completeness
+        self.part_col = part_col
+        self.name = name or "completeness"
+        self._verdicts: DataFrame | None = None
+
+    # ------------------------------------------------------------- phase 1
+    def fit(self, df: DataFrame) -> "CompletenessCheck":
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in self.cols:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        grouped = (
+            df.groupBy(self.part_col).agg(*aggs)
+            if self.part_col
+            else df.agg(*aggs)
+        )
+        per_col = []
+        part = [F.col(self.part_col)] if self.part_col else []
+        for c in self.cols:
+            comp = F.when(
+                F.col("__n") > 0, F.col(f"__nn_{c}") / F.col("__n")
+            ).otherwise(F.lit(1.0))
+            per_col.append(
+                grouped.select(
+                    *part,
+                    F.lit(c).alias("column"),
+                    F.col("__n").alias("n"),
+                    (F.col("__n") - F.col(f"__nn_{c}")).alias("nulls"),
+                    comp.alias("completeness"),
+                    (comp < F.lit(self.min_completeness)).alias("breached"),
+                )
+            )
+        out = per_col[0]
+        for v in per_col[1:]:
+            out = out.unionByName(v)
+        self._verdicts = out
+        return self
+
+    def partition_verdicts(self) -> DataFrame:
+        """(part_col?, column, n, nulls, completeness, breached) —
+        O(partitions x columns) grid."""
+        assert self._verdicts is not None, "call fit() first"
+        return self._verdicts
+
+    # ------------------------------------------------------------- phase 2
+    def apply(self, df: DataFrame) -> DataFrame:
+        assert self._verdicts is not None, "call fit() first"
+        breached = self._verdicts.where("breached")
+        if self.part_col:
+            failed = breached.groupBy(self.part_col).agg(
+                F.collect_set("column").alias("__comp_cols")
+            )
+            joined = df.join(
+                F.broadcast(failed), on=self.part_col, how="left"
+            )
+        else:
+            # global mode: the breached column set is a pure literal
+            # grid — no join at all
+            failed_lit = breached.select(F.collect_set("column")).first()[0]
+            joined = df.withColumn(
+                "__comp_cols",
+                F.lit(failed_lit).cast("array<string>")
+                if failed_lit
+                else F.lit(None).cast("array<string>"),
+            )
+        labels = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.array_contains(
+                            F.coalesce(
+                                F.col("__comp_cols"),
+                                F.array().cast("array<string>"),
+                            ),
+                            c,
+                        )
+                        & F.col(c).isNull(),
+                        F.lit(f"COMPLETENESS_{c}"),
+                    )
+                    for c in self.cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return joined.withColumn(self.label_col, labels).drop("__comp_cols")
+
+    def violation_labels(self) -> list[str]:
+        return [f"COMPLETENESS_{c}" for c in self.cols]

@@ -73,6 +73,15 @@ def build_check(spark: SparkSession, spec: dict):
         return SecretsCheck(
             spec.get("field", "content"), rules=rules, name=spec.get("name")
         )
+    if t == "completeness":
+        from osas_spark.checks.completeness import CompletenessCheck
+
+        return CompletenessCheck(
+            spec["cols"],
+            min_completeness=spec.get("min_completeness", 0.99),
+            part_col=spec.get("part_col"),
+            name=spec.get("name"),
+        )
     if t == "fd":
         from osas_spark.checks.fd import FunctionalDependencyCheck
 

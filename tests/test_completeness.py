@@ -1,0 +1,91 @@
+"""CompletenessCheck (osas_spark/checks/completeness.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from osas_spark.checks.completeness import CompletenessCheck
+
+
+@pytest.fixture()
+def frame(spark):
+    # partition p1: v 50% null (breaches 0.9); p2: v fully present;
+    # w complete everywhere
+    rows = [
+        ("p1", None, 1.0),
+        ("p1", None, 1.0),
+        ("p1", "x", 1.0),
+        ("p1", "y", 1.0),
+        ("p2", "a", 2.0),
+        ("p2", "b", 2.0),
+    ]
+    return spark.createDataFrame(rows, "part string, v string, w double")
+
+
+def test_ctor_validation():
+    with pytest.raises(ValueError):
+        CompletenessCheck([])
+    with pytest.raises(ValueError):
+        CompletenessCheck(["v"], min_completeness=0.0)
+    with pytest.raises(ValueError):
+        CompletenessCheck(["part"], part_col="part")
+
+
+def test_partition_verdicts(frame):
+    chk = CompletenessCheck(["v", "w"], 0.9, part_col="part").fit(frame)
+    got = {
+        (r["part"], r["column"]): (r["n"], r["nulls"], r["completeness"], r["breached"])
+        for r in chk.partition_verdicts().collect()
+    }
+    assert got[("p1", "v")] == (4, 2, 0.5, True)
+    assert got[("p1", "w")] == (4, 0, 1.0, False)
+    assert got[("p2", "v")] == (2, 0, 1.0, False)
+    assert got[("p2", "w")] == (2, 0, 1.0, False)
+
+
+def test_apply_labels_only_breached_partition_nulls(spark):
+    # p1 breaches on v; p3 has ONE null v among many rows -> within
+    # contract, its null row must NOT label
+    rows = (
+        [("p1", None)] * 3 + [("p1", "x")]
+        + [("p3", None)] + [("p3", "y")] * 20
+    )
+    df = spark.createDataFrame(rows, "part string, v string")
+    chk = CompletenessCheck(["v"], 0.9, part_col="part").fit(df)
+    out = chk.apply(df)
+    lab = out.where(F.size(chk.label_col) > 0)
+    got = [(r["part"], r["v"]) for r in lab.collect()]
+    assert got == [("p1", None)] * 3
+    assert out.where(F.col(chk.label_col).isNull()).count() == 0
+    assert chk.violation_labels() == ["COMPLETENESS_v"]
+
+
+def test_global_mode_no_partition(spark):
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",), ("b",)], "v string"
+    )
+    chk = CompletenessCheck(["v"], 0.9).fit(df)
+    v = chk.partition_verdicts().collect()
+    assert len(v) == 1 and v[0]["breached"] and v[0]["completeness"] == 0.5
+    labeled = chk.apply(df).where(F.size(chk.label_col) > 0).count()
+    assert labeled == 2
+    # healthy global column: nothing labels, no join in the plan
+    ok = CompletenessCheck(["v"], 0.4).fit(df)
+    assert ok.apply(df).where(F.size(ok.label_col) > 0).count() == 0
+
+
+def test_suite_and_config(spark, frame):
+    from osas_spark.config import build_check
+    from osas_spark.verdict import ValidationSuite
+
+    chk = build_check(
+        spark,
+        {"type": "completeness", "cols": ["v"], "min_completeness": 0.9,
+         "part_col": "part"},
+    )
+    assert isinstance(chk, CompletenessCheck)
+    suite = ValidationSuite([chk]).fit(frame)
+    viol = suite.violations(suite.transform(frame), keep_cols=["part"])
+    assert {(r["violation"], r["part"]) for r in viol.collect()} == {
+        ("COMPLETENESS_v", "p1")
+    }
