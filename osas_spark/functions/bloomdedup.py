@@ -178,6 +178,7 @@ def incremental_dedup(
     history_rows: int | None = None,
     max_filter_bytes: int = 256 * 1024 * 1024,
     skip_fpp_threshold: float = 0.5,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Classify every incoming row against the history by exact
     content digest: (*id_cols, digest, verdict) with verdict in
@@ -191,6 +192,11 @@ def incremental_dedup(
     the bloom step is skipped and every non-null digest goes straight
     to the verify join — still exact, still size-gated, degrading to a
     digest-partitioned shuffle join at the extreme.
+
+    Pass ``metrics={}`` (house convention) to observe the filter
+    decision: ``history_rows``, ``filter_bits``, ``k_hashes``,
+    ``effective_fpp``, ``prefilter_skipped``, plus the lazy
+    ``candidates`` DataFrame (the digests that paid for verification).
     """
     spark = incoming.sparkSession
     digest = F.md5(F.col(content_col).cast("string"))
@@ -204,6 +210,12 @@ def incremental_dedup(
     if n is None:
         n = src.count()
     _m, _k, eff_fpp = bloom_params(n, fpp, max_bytes=max_filter_bytes)
+    if metrics is not None:
+        metrics.update(
+            history_rows=n, filter_bits=_m, k_hashes=_k,
+            effective_fpp=eff_fpp,
+            prefilter_skipped=eff_fpp > skip_fpp_threshold,
+        )
 
     if eff_fpp > skip_fpp_threshold:
         # clamped filter would be noise — all non-null digests are
@@ -255,6 +267,8 @@ def incremental_dedup(
     candidates = (
         flagged.where(F.col("bloom_positive")).select("digest").distinct()
     )
+    if metrics is not None:
+        metrics["candidates"] = candidates
     cand_hinted, _ = broadcast_if_small(candidates)
     confirmed = (
         hist.join(cand_hinted, on="digest", how="leftsemi")

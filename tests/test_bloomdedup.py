@@ -131,3 +131,21 @@ def test_incremental_dedup_null_content_is_new(spark):
     }
     # NULL content never matches anything (SQL join semantics)
     assert out == {10: "new", 11: "dup"}
+
+
+def test_metrics_surface(spark):
+    hist = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(1000, "doc 5"), (1001, "brand new")], "doc_id long, text string"
+    )
+    m = {}
+    out = incremental_dedup(hist, inc, "text", ["doc_id"], metrics=m)
+    assert m["history_rows"] == 300 and not m["prefilter_skipped"]
+    assert m["filter_bits"] % 64 == 0 and m["k_hashes"] >= 1
+    assert 0 < m["effective_fpp"] < 0.05
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert got == {1000: "dup", 1001: "new"}
+    # the candidate stream is lazy and contains at least the true dup
+    assert m["candidates"].count() >= 1
