@@ -198,6 +198,13 @@ def incremental_dedup(
     ``effective_fpp``, ``prefilter_skipped``, plus the lazy
     ``candidates`` DataFrame (the digests that paid for verification).
     """
+    reserved = {"digest", "verdict", "bloom_positive", "in_history"}
+    clash = reserved & set(id_cols)
+    if clash:
+        raise ValueError(
+            f"incremental_dedup: id columns collide with internal/output "
+            f"names: {sorted(clash)} — rename them before deduping"
+        )
     spark = incoming.sparkSession
     digest = F.md5(F.col(content_col).cast("string"))
     hist = history.select(digest.alias("digest"))

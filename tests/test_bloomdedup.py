@@ -149,3 +149,9 @@ def test_metrics_surface(spark):
     assert got == {1000: "dup", 1001: "new"}
     # the candidate stream is lazy and contains at least the true dup
     assert m["candidates"].count() >= 1
+
+
+def test_reserved_id_cols_rejected(spark):
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, digest string")
+    with pytest.raises(ValueError):
+        incremental_dedup(df, df, "text", ["doc_id", "digest"])
