@@ -1251,6 +1251,80 @@ FROM g
 """
 
 
+def _aggregate_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-summary rollup reconciliation (checks/reconcile.py): the
+    lineitem per-order totals are recomputed from the fact table and
+    compared to a maintained summary — derived here from the truth and
+    deterministically corrupted (keys %101 dropped, qty totals %89
+    shifted +7, %97 re-added under impossible ids). Tolerance-based
+    float compare so last-ulp partial-aggregation order differences
+    never flag; only keys+status+measure names are emitted so the hash
+    gate never touches engine-specific float text."""
+    from osas_spark.checks.reconcile import aggregate_reconciliation
+
+    li = _t(spark, sf_dir, "lineitem")
+    truth = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum("l_extendedprice").alias("total_price"),
+    )
+    summary = truth.where(
+        F.pmod(F.col("l_orderkey"), F.lit(101)) != 0
+    ).select(
+        "l_orderkey",
+        F.when(
+            F.pmod(F.col("l_orderkey"), F.lit(89)) == 0,
+            F.col("total_qty") + F.lit(7),
+        ).otherwise(F.col("total_qty")).alias("total_qty"),
+        "total_price",
+    )
+    fakes = truth.where(F.pmod(F.col("l_orderkey"), F.lit(97)) == 0).select(
+        (F.col("l_orderkey") + F.lit(50000000)).alias("l_orderkey"),
+        "total_qty",
+        "total_price",
+    )
+    return aggregate_reconciliation(
+        li,
+        summary.unionByName(fakes),
+        ["l_orderkey"],
+        {
+            "total_qty": F.sum("l_quantity"),
+            "total_price": F.sum("l_extendedprice"),
+        },
+    )
+
+
+_AGGREGATE_RECONCILE_SQL = """
+WITH truth AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty, sum(l_extendedprice) AS total_price
+  FROM lineitem GROUP BY l_orderkey
+),
+summary AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 89 = 0 THEN total_qty + 7 ELSE total_qty END AS total_qty,
+         total_price
+  FROM truth WHERE l_orderkey % 101 <> 0
+  UNION ALL
+  SELECT l_orderkey + 50000000, total_qty, total_price FROM truth WHERE l_orderkey % 97 = 0
+),
+j AS (
+  SELECT COALESCE(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+         t.l_orderkey IS NOT NULL AS fp, s.l_orderkey IS NOT NULL AS sp,
+         list_filter([
+            CASE WHEN t.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL
+                 AND abs(t.total_qty - s.total_qty) > greatest(abs(s.total_qty)*1e-9, 1e-9) THEN 'total_qty' END,
+            CASE WHEN t.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL
+                 AND abs(t.total_price - s.total_price) > greatest(abs(s.total_price)*1e-9, 1e-9) THEN 'total_price' END
+         ], x -> x IS NOT NULL) AS mm
+  FROM truth t FULL JOIN summary s ON t.l_orderkey = s.l_orderkey
+)
+SELECT l_orderkey,
+   CASE WHEN NOT sp THEN 'missing_in_summary' WHEN NOT fp THEN 'missing_in_fact'
+        WHEN len(mm) > 0 THEN 'mismatch' ELSE 'ok' END AS status,
+   CASE WHEN NOT sp OR NOT fp THEN '' ELSE array_to_string(list_sort(mm), ',') END AS mismatched_measures
+FROM j WHERE NOT (fp AND sp AND len(mm) = 0)
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. xxhash64 signatures have no DuckDB
     replay, but the output is bit-deterministic on the fixture, so the
@@ -3347,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": _fd_violations,
         "column_diff": _column_diff,
         "completeness_verdicts": _completeness_verdicts,
+        "aggregate_reconcile": _aggregate_reconcile,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "minhash_overlap": _minhash_overlap,
@@ -3424,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_violations": _FD_VIOLATIONS_SQL,
         "column_diff": _COLUMN_DIFF_SQL,
         "completeness_verdicts": _COMPLETENESS_SQL,
+        "aggregate_reconcile": _AGGREGATE_RECONCILE_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

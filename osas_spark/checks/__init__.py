@@ -11,4 +11,5 @@ from osas_spark.checks.secrets import SecretsCheck  # noqa: F401
 from osas_spark.checks.schema import SchemaCheck, ColumnSpec  # noqa: F401
 from osas_spark.checks.fd import FunctionalDependencyCheck  # noqa: F401
 from osas_spark.checks.completeness import CompletenessCheck  # noqa: F401
+from osas_spark.checks.reconcile import aggregate_reconciliation  # noqa: F401
 from osas_spark.checks.delta import snapshot_delta, delta_summary, column_diff  # noqa: F401

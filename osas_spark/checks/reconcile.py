@@ -1,0 +1,124 @@
+"""Aggregate reconciliation: fact-table rollups must match a summary
+table, key by key.
+
+The classic partial-load detector: a fact table and the summary someone
+maintains from it drift apart when a loader double-applies a batch,
+drops a partition, or updates one side of a backfill. Reconciliation
+recomputes the rollup FROM the fact table and compares it to the
+summary with per-key, per-measure attribution — the aggregate sibling
+of column_diff (which compares raw rows) and FD (which compares
+mappings).
+
+Scale shape: ONE groupBy shuffle over the fact table (partial
+aggregation map-side — the classic sum/count rollup), then a join with
+the summary keyed the same way; the summary side is usually orders of
+magnitude smaller and broadcasts behind the size gate, degrading to a
+co-partitioned sort-merge join when it is genuinely huge. No Python,
+no collects.
+
+Float tolerance: measures compare within max(rel_tol * |summary|,
+abs_tol) — exact-zero tolerance on doubles would flag last-ulp
+differences between two correct computations (e.g. different partial-
+aggregation orders) as corruption.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_reconciliation(
+    fact: DataFrame,
+    summary: DataFrame,
+    key_cols: Sequence[str],
+    measures: dict[str, Column],
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-9,
+    include_ok: bool = False,
+) -> DataFrame:
+    """Compare `summary` to the rollup of `fact`.
+
+    measures maps each SUMMARY column name to the aggregate expression
+    that recomputes it from the fact table, e.g.
+    ``{"total_qty": F.sum("l_quantity")}``.
+
+    Output: *key_cols, status ('missing_in_summary' — fact has the key,
+    summary lost it; 'missing_in_fact' — summary has a key the fact
+    table cannot produce; 'mismatch'; 'ok'), mismatched_measures
+    (sorted comma-joined measure names outside tolerance).
+    """
+    key_cols = list(key_cols)
+    if not measures:
+        raise ValueError("aggregate_reconciliation: no measures")
+    reserved = {"status", "mismatched_measures", "__fact_present",
+                "__sum_present"}
+    reserved |= {f"__fact_{m}" for m in measures}
+    clash = reserved & set(key_cols)
+    if clash:
+        raise ValueError(
+            f"aggregate_reconciliation: key columns collide with "
+            f"internal/output names: {sorted(clash)}"
+        )
+    missing = [m for m in measures if m not in summary.columns]
+    if missing:
+        raise ValueError(
+            f"aggregate_reconciliation: summary lacks measure columns "
+            f"{missing}"
+        )
+    notnull = F.lit(True)
+    for k in key_cols:
+        notnull = notnull & F.col(k).isNotNull()
+    rollup = (
+        fact.where(notnull)
+        .groupBy(*key_cols)
+        .agg(*[expr.alias(f"__fact_{m}") for m, expr in measures.items()])
+        .withColumn("__fact_present", F.lit(True))
+    )
+    s = summary.where(notnull).select(
+        *key_cols, *measures, F.lit(True).alias("__sum_present")
+    )
+    from osas_spark.joins import broadcast_if_small
+
+    s_hinted, _ = broadcast_if_small(s)
+    joined = rollup.join(s_hinted, on=key_cols, how="full_outer")
+
+    def _off(m: str) -> Column:
+        a, b = F.col(f"__fact_{m}").cast("double"), F.col(m).cast("double")
+        tol = F.greatest(F.abs(b) * F.lit(rel_tol), F.lit(abs_tol))
+        return F.when(
+            a.isNull() != b.isNull(), F.lit(m)  # one side NULL = mismatch
+        ).when(a.isNotNull() & (F.abs(a - b) > tol), F.lit(m))
+
+    mism = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(*[_off(m) for m in measures]),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    status = (
+        F.when(F.col("__sum_present").isNull(), F.lit("missing_in_summary"))
+        .when(F.col("__fact_present").isNull(), F.lit("missing_in_fact"))
+        .when(F.col("mismatched_measures") != "", F.lit("mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    out = (
+        joined.withColumn("mismatched_measures", mism)
+        .withColumn("status", status)
+        .withColumn(
+            "mismatched_measures",
+            F.when(
+                F.col("status").isin("missing_in_summary", "missing_in_fact"),
+                F.lit(""),
+            ).otherwise(F.col("mismatched_measures")),
+        )
+        .select(*key_cols, "status", "mismatched_measures")
+    )
+    if not include_ok:
+        out = out.where(F.col("status") != "ok")
+    return out

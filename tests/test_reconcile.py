@@ -1,0 +1,82 @@
+"""aggregate_reconciliation (osas_spark/checks/reconcile.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from osas_spark.checks.reconcile import aggregate_reconciliation
+
+
+@pytest.fixture()
+def fact(spark):
+    rows = [
+        ("k1", 10.0), ("k1", 20.0),
+        ("k2", 5.0),
+        ("k3", 1.0), ("k3", 2.0), ("k3", 3.0),
+    ]
+    return spark.createDataFrame(rows, "k string, x double")
+
+
+def test_statuses_and_attribution(spark, fact):
+    summary = spark.createDataFrame(
+        [
+            ("k1", 30.0, 2),   # exact
+            ("k2", 99.0, 1),   # n ok, total wrong
+            ("k9", 7.0, 1),    # fact can't produce it
+            # k3 absent -> missing_in_summary
+        ],
+        "k string, total double, n long",
+    )
+    out = {
+        r["k"]: (r["status"], r["mismatched_measures"])
+        for r in aggregate_reconciliation(
+            fact, summary, ["k"],
+            {"total": F.sum("x"), "n": F.count(F.lit(1))},
+        ).collect()
+    }
+    assert out == {
+        "k2": ("mismatch", "total"),
+        "k3": ("missing_in_summary", ""),
+        "k9": ("missing_in_fact", ""),
+    }
+
+
+def test_tolerance_absorbs_ulp_noise(spark, fact):
+    # a last-ulp perturbation must NOT flag; a real one must
+    eps_summary = spark.createDataFrame(
+        [("k1", 30.0 * (1 + 1e-15)), ("k2", 5.0), ("k3", 6.0)],
+        "k string, total double",
+    )
+    out = aggregate_reconciliation(
+        fact, eps_summary, ["k"], {"total": F.sum("x")}, include_ok=True
+    )
+    got = {r["k"]: r["status"] for r in out.collect()}
+    assert got == {"k1": "ok", "k2": "ok", "k3": "ok"}
+
+
+def test_multi_measure_sorted_names(spark, fact):
+    summary = spark.createDataFrame(
+        [("k1", 0.0, 0), ("k2", 5.0, 1), ("k3", 6.0, 3)],
+        "k string, total double, n long",
+    )
+    out = {
+        r["k"]: r["mismatched_measures"]
+        for r in aggregate_reconciliation(
+            fact, summary, ["k"],
+            {"total": F.sum("x"), "n": F.count(F.lit(1))},
+        ).collect()
+    }
+    assert out == {"k1": "n,total"}
+
+
+def test_validation(spark, fact):
+    with pytest.raises(ValueError):
+        aggregate_reconciliation(fact, fact, ["k"], {})
+    with pytest.raises(ValueError):
+        aggregate_reconciliation(
+            fact, fact.withColumnRenamed("x", "status"), ["status"],
+            {"x": F.sum("x")},
+        )
+    with pytest.raises(ValueError):
+        # summary lacks the measure column
+        aggregate_reconciliation(fact, fact, ["k"], {"nope": F.sum("x")})
