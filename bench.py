@@ -75,6 +75,7 @@ BIG_HEADLINE = [
     "secret_scan",      # zero-shuffle regex scan over 10x content bytes
     "dedup_incremental",  # bloom build over 10x history + probe + verify
     "fd_violations",    # distinct-pair shuffle over 10x orders
+    "aggregate_reconcile",  # rollup shuffle over 10x lineitem + gated join
 ]
 
 HEADLINE = [
@@ -106,6 +107,9 @@ HEADLINE = [
     "dedup_incremental",   # Bloom prefilter + broadcast-verify vs history
     "schema_contract",     # declarative contract grading + fused counters
     "fd_violations",       # functional-dependency constraint
+    "completeness_verdicts",  # fused per-partition null-rate grid
+    "column_diff",         # full-outer column-level reconciliation
+    "aggregate_reconcile", # fact-vs-summary rollup reconciliation
 ]
 
 
