@@ -762,7 +762,12 @@ mad AS (
 )
 SELECT d.event_id, d.event_type,
        round(dev / greatest(mad * 1.4826, 1e-9), 4) AS robust_z,
-       dev / greatest(mad * 1.4826, 1e-9) > 3.5 AS is_outlier
+       -- COALESCE mirrors the Spark side's NULL->FALSE: a NULL value
+       -- row has NULL dev, and the engine coalesces is_outlier to
+       -- FALSE (a row with no value is not an outlier); without this
+       -- the hash gate diverges the moment the fixture gains NULLs
+       COALESCE(dev / greatest(mad * 1.4826, 1e-9) > 3.5, FALSE)
+         AS is_outlier
 FROM d JOIN mad USING (event_type)
 """
 
@@ -1665,7 +1670,9 @@ SELECT doc_id,
        CAST(start / 8 AS INT) AS chunk_id,
        array_to_string(list_slice(toks, start + 1, start + 12), ' ')
          AS chunk_text,
-       CAST(least(12, len(toks) - start) AS BIGINT) AS n_chunk_tokens
+       CAST(CASE WHEN len(toks) IS NOT NULL
+                 THEN least(12, len(toks) - start) END AS BIGINT)
+         AS n_chunk_tokens
 FROM t,
      unnest(generate_series(0, greatest(len(toks) - 1 - 4, 0), 8))
        AS u(start)
@@ -3360,14 +3367,15 @@ WITH base AS (
               ELSE md5(text) END AS digest
   FROM documents
 ),
-o AS (SELECT repo, path, digest AS old_digest FROM base
+o AS (SELECT repo, path, TRUE AS old_present, digest AS old_digest FROM base
       WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0),
-n AS (SELECT repo, path, digest AS new_digest FROM base
+n AS (SELECT repo, path, TRUE AS new_present, digest AS new_digest FROM base
       WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0)
 SELECT repo, path, old_digest, new_digest,
-       CASE WHEN old_digest IS NULL THEN 'added'
-            WHEN new_digest IS NULL THEN 'deleted'
-            WHEN old_digest <> new_digest THEN 'modified'
+       CASE WHEN old_present IS NULL THEN 'added'
+            WHEN new_present IS NULL THEN 'deleted'
+            WHEN old_digest IS NULL OR new_digest IS NULL
+                 OR old_digest <> new_digest THEN 'modified'
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n USING (repo, path)
 """

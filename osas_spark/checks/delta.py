@@ -40,9 +40,20 @@ def snapshot_delta(
     *key_cols, old_digest, new_digest, status. NULL join keys are
     dropped on both sides (SQL join semantics: NULL never equals
     NULL, so a null-keyed row can only ever be spurious add+delete —
-    same contract as asof_join's null-key rule)."""
+    same contract as asof_join's null-key rule).
+
+    Presence is tracked with explicit marker columns, NOT digest
+    nullness: a user-supplied digest column may legitimately contain
+    NULLs (un-hashed rows), and inferring membership from it would
+    classify a both-present/NULL-new-digest key as 'deleted' — so
+    incremental_findings would neither rescan nor carry it and its
+    findings would silently vanish. A NULL digest on a both-present
+    key instead classifies as 'modified' (unknown content => forced
+    rescan), which is the conservative direction that preserves the
+    identical-to-full-rescan guarantee."""
     key_cols = list(key_cols)
-    reserved = {"old_digest", "new_digest", "status"}
+    reserved = {"old_digest", "new_digest", "status",
+                "__old_present", "__new_present"}
     clash = reserved & set(key_cols)
     if clash:
         raise ValueError(f"snapshot_delta: key columns collide with "
@@ -51,19 +62,33 @@ def snapshot_delta(
     for k in key_cols:
         notnull = notnull & F.col(k).isNotNull()
     o = old.where(notnull).select(
-        *key_cols, F.col(digest_col).alias("old_digest")
+        *key_cols,
+        F.lit(True).alias("__old_present"),
+        F.col(digest_col).alias("old_digest"),
     )
     n = new.where(notnull).select(
-        *key_cols, F.col(digest_col).alias("new_digest")
+        *key_cols,
+        F.lit(True).alias("__new_present"),
+        F.col(digest_col).alias("new_digest"),
     )
     joined = o.join(n, on=key_cols, how="full_outer")
     status = (
-        F.when(F.col("old_digest").isNull(), F.lit("added"))
-        .when(F.col("new_digest").isNull(), F.lit("deleted"))
-        .when(F.col("old_digest") != F.col("new_digest"), F.lit("modified"))
+        F.when(F.col("__old_present").isNull(), F.lit("added"))
+        .when(F.col("__new_present").isNull(), F.lit("deleted"))
+        # both present: any NULL digest means content is unknowable ->
+        # conservative 'modified'; eqNullSafe would read NULL==NULL as
+        # unchanged and skip a rescan nothing proves is safe
+        .when(
+            F.col("old_digest").isNull()
+            | F.col("new_digest").isNull()
+            | (F.col("old_digest") != F.col("new_digest")),
+            F.lit("modified"),
+        )
         .otherwise(F.lit("unchanged"))
     )
-    out = joined.withColumn("status", status)
+    out = joined.withColumn("status", status).drop(
+        "__old_present", "__new_present"
+    )
     if not include_unchanged:
         out = out.where(F.col("status") != "unchanged")
     return out

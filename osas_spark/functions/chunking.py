@@ -35,10 +35,13 @@ pipeline addition, like dedup/sampling/packing). The DuckDB oracle
 replays string_split + generate_series + list_slice over the same
 corpus.
 
-NULL text propagates: `greatest`/`least` ignore NULLs identically in
-Spark and DuckDB, so a NULL document emits exactly one chunk row with
-NULL chunk text in both engines (callers filter if they care —
-dropping rows silently is not this operator's decision).
+NULL text propagates: a NULL document emits exactly one chunk row with
+NULL chunk text AND NULL token count in both engines (callers filter
+if they care — dropping rows silently is not this operator's
+decision). The count must be explicitly gated on the token array being
+non-NULL: `least`/`greatest` SKIP NULL operands in both Spark and
+DuckDB, so an ungated least(chunk_tokens, NULL - start) would report a
+positive count for a NULL chunk.
 """
 
 from __future__ import annotations
@@ -104,8 +107,13 @@ def chunk_by_tokens(
         F.array_join(
             F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens), sep
         ).alias(out_col),
-        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
-        .cast("long").alias(count_col),
+        # gate on __n: least() SKIPS a NULL operand, so a NULL document
+        # (NULL __n) would otherwise report a positive token count next
+        # to its NULL chunk_text instead of propagating the NULL
+        F.when(
+            F.col("__n").isNotNull(),
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start")),
+        ).cast("long").alias(count_col),
     )
 
 

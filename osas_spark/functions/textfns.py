@@ -116,9 +116,12 @@ def _top_ngram_frac_kernel(n: int):
     codegen — measured ~20x slower per core than this kernel on the
     sf0.1 documents table (the same JVM-expression-vs-Arrow trade as
     functions/dedup.py's simhash kernel). Token split replays Spark's
-    `split(lower(trim(text)), '\\s+')` exactly (re.split, NOT
-    str.split — they differ on empty strings), so the two paths are
-    bit-identical; tests assert parity."""
+    `split(lower(trim(text)), '\\s+')` exactly: strip(' ') because
+    Spark's trim removes ONLY 0x20 spaces (Python's bare .strip()
+    would also eat \\n/\\t and drop the boundary empty tokens Java
+    split limit=-1 keeps), and re.split, NOT str.split (str.split
+    collapses boundary empties). Tests assert parity on trailing
+    newline/tab inputs."""
     import re
     from collections import Counter
 
@@ -133,7 +136,7 @@ def _top_ngram_frac_kernel(n: int):
             if t is None:
                 out.append(None)
                 continue
-            toks = ws.split(t.strip().lower())
+            toks = ws.split(t.strip(" ").lower())
             m = len(toks) - n + 1
             if m <= 1:
                 # one gram (short doc / whole text) claims everything —

@@ -82,10 +82,20 @@ def cmd_audit(args) -> None:
     key_cols = tuple(args.key_cols.split(","))
     new = _read(spark, args.input)
 
-    def with_digest(df):
+    computed_digest = []  # which inputs lacked the digest column
+
+    def with_digest(df, which):
         if args.digest_col in df.columns:
             return df
-        return df.withColumn(args.digest_col, F.md5(F.col(args.content_col)))
+        computed_digest.append(which)
+        # sha2-256 so the filled column honestly matches the default
+        # column name (content_sha256) AND the north rule's per-row
+        # sha256 invariant; md5 here would make a snapshot carrying
+        # real precomputed sha256 compare every common key 'modified'
+        # and silently degrade the incremental path to a full rescan
+        return df.withColumn(
+            args.digest_col, F.sha2(F.col(args.content_col), 256)
+        )
 
     def scan(df):
         return scan_secrets(df, args.content_col, id_cols=key_cols)
@@ -95,13 +105,24 @@ def cmd_audit(args) -> None:
             raise SystemExit("audit: --previous requires --prior-findings")
         findings = incremental_findings(
             _read(spark, args.prior_findings),
-            with_digest(_read(spark, args.previous)),
-            with_digest(new),
+            with_digest(_read(spark, args.previous), "previous"),
+            with_digest(new, "input"),
             scan,
             key_cols=key_cols,
             digest_col=args.digest_col,
         )
         mode = "incremental"
+        if len(computed_digest) == 1:
+            # one side precomputed, one side filled here: if the
+            # precomputed one isn't sha2-256 over content_col, every
+            # common key compares 'modified' (a silent full rescan)
+            print(json.dumps({
+                "status": "warning",
+                "msg": f"digest column {args.digest_col!r} was computed "
+                       f"(sha2-256) for {computed_digest[0]!r} only; if "
+                       "the other snapshot's digest uses a different "
+                       "hash, all common keys will rescan as 'modified'",
+            }), file=sys.stderr)
     else:
         findings = scan(new)
         mode = "full"

@@ -86,7 +86,10 @@ def test_null_text_single_null_chunk(spark):
 
     df = spark.createDataFrame([(9, None)], "doc_id long, text string")
     rows = chunk_by_tokens(df, "text", 4, 1).collect()
-    assert [(r["chunk_id"], r["chunk_text"]) for r in rows] == [(0, None)]
+    # token count is NULL alongside the text — least() skips NULL
+    # operands, so an ungated count would read 4 here
+    assert [(r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+            for r in rows] == [(0, None, None)]
 
 
 def test_bad_params_raise(spark):

@@ -133,7 +133,13 @@ def test_repetition_arrow_jvm_parity(spark):
     from osas_spark.functions.textfns import repetition_features
 
     docs = [(1, "x y x y x y z"), (2, ""), (3, "   "), (4, "one"),
-            (5, None), (6, "a\nb\na"), (7, "t t t t t t t t t t")]
+            (5, None), (6, "a\nb\na"), (7, "t t t t t t t t t t"),
+            # boundary-whitespace traps: Spark trim strips ONLY 0x20,
+            # and Java split limit=-1 keeps the empty tokens a leading
+            # tab / trailing newline produce — a bare Python .strip()
+            # in the kernel read doc 8 as 1.0 instead of 0.5
+            (8, "a b\n"), (9, "\tx y x y"), (10, "p  q\t\nr"),
+            (11, "\n\n"), (12, " padded with real spaces ")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     a = {r["doc_id"]: r["top_ngram_frac"] for r in
          repetition_features(df, "text", arrow=True).collect()}

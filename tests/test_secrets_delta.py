@@ -217,6 +217,34 @@ def test_delta_null_keys_dropped(spark):
     assert [(r["path"], r["status"]) for r in out] == [("a", "unchanged")]
 
 
+def test_delta_null_digest_is_modified_not_deleted(spark):
+    """Presence comes from explicit markers, not digest nullness: a key
+    present in BOTH snapshots with a NULL digest must classify as
+    'modified' (forced rescan), never 'deleted' (which would make
+    incremental_findings silently drop its findings) and never
+    'unchanged' (nothing proves the content is the same)."""
+    from osas_spark.checks.delta import incremental_findings, snapshot_delta
+
+    old = _snap(spark, [("r", "a", "h1"), ("r", "b", None),
+                        ("r", "c", None)])
+    new = _snap(spark, [("r", "a", None), ("r", "b", "h2"),
+                        ("r", "c", None)])
+    got = {r["path"]: r["status"] for r in
+           snapshot_delta(old, new, include_unchanged=True).collect()}
+    assert got == {"a": "modified", "b": "modified", "c": "modified"}
+
+    # end-to-end: the NULL-digest row is rescanned, so incremental ==
+    # full rescan even though its prior finding is stale
+    prior = spark.createDataFrame(
+        [("r", "a", "STALE"), ("r", "b", "STALE"), ("r", "c", "STALE")],
+        "repo string, path string, label string")
+    scan = lambda df: df.select(  # noqa: E731
+        "repo", "path", F.lit("FRESH").alias("label"))
+    inc = incremental_findings(prior, old, new, scan).collect()
+    assert {(r["path"], r["label"]) for r in inc} == {
+        ("a", "FRESH"), ("b", "FRESH"), ("c", "FRESH")}
+
+
 def test_delta_key_collision_raises(spark):
     from osas_spark.checks.delta import snapshot_delta
 
