@@ -31,17 +31,23 @@ digest semantics as functions/dedup.py::exact_duplicates.
 Scale notes
 -----------
 - Bits are built per-partition in numpy (mapInPandas: one bitmap row
-  per partition) and OR-folded on the driver. Driver memory is
-  m_bits/8 bytes — ~1.2 MB per million history docs at fpp=1e-2.
-  That envelope ends around 10^10 docs (~12 GB); at the 10^12-file
-  north-star scale no single bitmap fits anywhere. So the filter is
-  CLAMPED to `max_filter_bytes`: past the ideal size the fpp degrades
-  gracefully (more rows pay for verification — never a wrong answer),
-  and once the clamped filter's effective fpp crosses
-  `skip_fpp_threshold` the prefilter is dropped entirely and every
-  incoming digest goes to the verify join, whose broadcast is itself
-  size-gated and degrades to a digest-partitioned shuffle — the
-  correct plan when the overlap set is genuinely huge.
+  per partition) and OR-folded EXECUTOR-SIDE in a two-level tree
+  (repartition(fanin) -> streamed OR -> repartition(1) -> streamed OR),
+  so the driver receives exactly ONE bitmap: peak driver allocation is
+  O(filter_size), never O(partitions x filter_size). A history scan of
+  thousands of parquet partitions with a hundreds-of-MB filter — the
+  regime where the prefilter earns its keep — previously collected one
+  full-size bitmap per partition simultaneously, which is a driver OOM
+  at exactly that scale. Each fold task streams rows one at a time
+  through the Python iterator (peak = accumulator + one row); the
+  bitmap shuffle between levels is executor-to-executor. Filter size
+  stays bounded too: it is CLAMPED to `max_filter_bytes` — past the
+  ideal size the fpp degrades gracefully (more rows pay for
+  verification — never a wrong answer), and once the clamped filter's
+  effective fpp crosses `skip_fpp_threshold` the prefilter is dropped
+  entirely and every incoming digest goes to the verify join, whose
+  broadcast is itself size-gated and degrades to a digest-partitioned
+  shuffle — the correct plan when the overlap set is genuinely huge.
 - n_items for sizing comes from Catalyst's rowCount statistic when the
   plan exposes one (free), else one count() scan; an inaccurate
   estimate only moves the fpp, never the verdict.
@@ -122,19 +128,46 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
 
 
+def _or_fold_bitmaps(rows):
+    """Stream-OR an iterator of bitmap byte rows: peak memory is the
+    accumulator plus ONE incoming row, regardless of how many bitmaps
+    flow through (Python iterators pull rows one at a time — no Arrow
+    batching, which would materialize up to maxRecordsPerBatch bitmaps
+    at once)."""
+    acc = None
+    for b in rows:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        if acc is None:
+            acc = arr.copy()
+        else:
+            acc |= arr
+    if acc is not None:
+        yield acc.tobytes()
+
+
 def build_digest_bloom(
     history: DataFrame,
     digest_col: str,
     n_items: int | None = None,
     fpp: float = 0.01,
     max_filter_bytes: int = 256 * 1024 * 1024,
+    fold_fanin: int = 32,
 ) -> tuple[bytes, int, int, int]:
     """One history scan -> (bitmap bytes, m_bits, k_hashes, n_items).
 
     Each partition builds a local bitmap in numpy and emits ONE binary
-    row; the driver OR-folds num_partitions bitmaps. No digest ever
-    leaves the executors. The bitmap never exceeds ``max_filter_bytes``
-    (fpp degrades instead — see bloom_params).
+    row; the rows are then OR-folded EXECUTOR-SIDE in a two-level tree
+    — repartition(fold_fanin) with a streaming OR per task, then
+    repartition(1) for the final OR — so the driver collects exactly
+    one bitmap. Peak driver allocation is O(filter_size); peak per-task
+    allocation is accumulator + one row (the fold streams the Python
+    iterator, deliberately NOT mapInPandas, whose Arrow batching would
+    materialize up to maxRecordsPerBatch bitmaps per batch). The
+    repartition (not coalesce) between build and fold keeps the history
+    scan at full source parallelism — coalesce would merge the scan
+    itself down to fold_fanin tasks. No digest ever leaves the
+    executors. The bitmap never exceeds ``max_filter_bytes`` (fpp
+    degrades instead — see bloom_params).
     """
     src = history.select(F.col(digest_col).alias("digest")).where(
         F.col("digest").isNotNull()
@@ -162,10 +195,19 @@ def build_digest_bloom(
         if seen:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    parts = src.mapInPandas(_partition_bitmap, schema="bitmap binary").collect()
-    bitmap = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    parts = src.mapInPandas(_partition_bitmap, schema="bitmap binary")
+    rdd = parts.rdd.map(lambda r: bytes(r[0]))
+    if fold_fanin > 1 and rdd.getNumPartitions() > fold_fanin:
+        # level 1: fold P partition-bitmaps down to fold_fanin partials
+        # in parallel (OR is associative+commutative, so any grouping
+        # folds to the same bitmap — the partitioning-invariance test)
+        rdd = rdd.repartition(fold_fanin).mapPartitions(_or_fold_bitmaps)
+    # level 2: one task streams the remaining partials; driver gets 1 row
+    final = rdd.repartition(1).mapPartitions(_or_fold_bitmaps).collect()
+    if final:
+        bitmap = np.frombuffer(final[0], dtype=np.uint8)
+    else:
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
     return bitmap.tobytes(), m, k, n_items
 
 
@@ -196,7 +238,11 @@ def incremental_dedup(
     Pass ``metrics={}`` (house convention) to observe the filter
     decision: ``history_rows``, ``filter_bits``, ``k_hashes``,
     ``effective_fpp``, ``prefilter_skipped``, plus the lazy
-    ``candidates`` DataFrame (the digests that paid for verification).
+    ``candidates`` DataFrame (the digests that paid for verification)
+    and ``persisted`` — the list of DataFrames this operator cached
+    (the probed batch); long-lived sessions composing many operators
+    should ``.unpersist()`` them once the output is consumed, or the
+    cached partitions accumulate for the session's lifetime.
     """
     reserved = {"digest", "verdict", "bloom_positive", "in_history"}
     clash = reserved & set(id_cols)
@@ -264,6 +310,8 @@ def incremental_dedup(
     from pyspark import StorageLevel
 
     flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    if metrics is not None:
+        metrics.setdefault("persisted", []).append(flagged)
 
     # Verify: the candidate digest set is |true dups| + ~fpp*|incoming|
     # — broadcast IT against the history scan (size-gated like every

@@ -60,7 +60,14 @@ def decontaminate(
     grams AFTER the max_eval_df cutoff so the fraction's numerator and
     denominator range over the same gram universe (a dropped
     boilerplate gram neither counts as shared nor inflates the
-    denominator)."""
+    denominator).
+
+    Pass ``metrics={}`` to receive ``dropped_grams`` (lazy DataFrame of
+    cutoff casualties) and ``persisted`` — the DataFrames this operator
+    cached (the kept eval-gram table, which feeds both the size
+    aggregate and the corpus join); long-lived sessions should
+    ``.unpersist()`` them once the report is consumed (house
+    convention, same as incremental_dedup)."""
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
     from pyspark import StorageLevel
@@ -81,6 +88,8 @@ def decontaminate(
     kept = e_all.join(
         df_per_gram.where(F.col("edf") <= max_eval_df).select("gram"), on="gram"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if metrics is not None:
+        metrics.setdefault("persisted", []).append(kept)
     e_sz = kept.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_sz"))
 
     c = corpus.select(

@@ -76,6 +76,62 @@ def test_no_false_negatives_and_fpp(spark):
     assert fp < 0.03, f"measured fpp {fp:.4f} vs target 0.01"
 
 
+def test_fold_identical_across_partitionings(spark):
+    """The executor-side OR tree must produce a byte-identical bitmap
+    no matter how the history is partitioned or what the fold fan-in
+    is (OR is associative+commutative, so any fold grouping agrees) —
+    including fan-ins that force the two-level path and fanin<=1 which
+    bypasses level 1."""
+    members = [(_md5_hex(f"m-{i}"),) for i in range(3000)]
+    hist = spark.createDataFrame(members, "digest string")
+    ref = None
+    for parts, fanin in [(1, 32), (7, 32), (64, 4), (64, 1), (16, 16)]:
+        bm, m, k, n = build_digest_bloom(
+            hist.repartition(parts), "digest", n_items=3000, fpp=0.01,
+            fold_fanin=fanin,
+        )
+        if ref is None:
+            ref = (bm, m, k)
+        assert (bm, m, k) == ref, (parts, fanin)
+
+
+def test_fold_driver_memory_is_filter_sized(spark):
+    """Peak driver allocation during the bitmap build must be
+    O(filter_size), not O(partitions x filter_size): with 48 history
+    partitions and a ~256 KB clamped filter, the old collect()-fold
+    held 48 bitmaps (~12 MB) simultaneously; the executor-side tree
+    hands the driver exactly one. tracemalloc sees numpy + collected
+    bytes, so a generous 8x-filter bound separates the two regimes by
+    >6x while absorbing interpreter noise."""
+    import tracemalloc
+
+    from pyspark.sql import functions as F
+
+    cap = 256 * 1024  # ideal m for 300k@0.01 is ~351 KB -> clamp engages
+    n_items = 300_000
+    hist = spark.range(n_items).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    ).repartition(48)
+    # warm up the JVM/py4j path so tracemalloc measures the fold,
+    # not first-call machinery
+    build_digest_bloom(hist, "digest", n_items=n_items, max_filter_bytes=cap)
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    bm, m, k, n = build_digest_bloom(
+        hist, "digest", n_items=n_items, max_filter_bytes=cap
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert m == cap * 8  # the clamp engaged: filter size is known
+    assert len(bm) == cap
+    assert peak < 8 * cap, (
+        f"driver peak {peak} bytes vs filter {cap} — fold is collecting "
+        "per-partition bitmaps again"
+    )
+    # and the bitmap is still a working filter (no false negatives)
+    assert _probe(bm, m, k, [_md5_hex("7"), _md5_hex("123456")]).all()
+
+
 def test_incremental_dedup_exact_verdicts(spark):
     hist_rows = [(i, f"history doc {i}") for i in range(200)]
     # incoming: 50 genuinely new + 30 re-ingested history payloads
