@@ -10,11 +10,13 @@ of column_diff (which compares raw rows) and FD (which compares
 mappings).
 
 Scale shape: ONE groupBy shuffle over the fact table (partial
-aggregation map-side — the classic sum/count rollup), then a join with
-the summary keyed the same way; the summary side is usually orders of
-magnitude smaller and broadcasts behind the size gate, degrading to a
-co-partitioned sort-merge join when it is genuinely huge. No Python,
-no collects.
+aggregation map-side — the classic sum/count rollup), then a
+FULL-OUTER join with the summary keyed the same way — full-outer
+because missing keys on either side are first-class verdicts, and
+deliberately un-hinted because Spark cannot broadcast either side of a
+full-outer join (a replicated side would emit unmatched rows once per
+partition); the sort-merge join is the right plan and AQE splits hot
+keys. No Python, no collects.
 
 Float tolerance: measures compare within max(rel_tol * |summary|,
 abs_tol) — exact-zero tolerance on doubles would flag last-ulp
@@ -80,10 +82,14 @@ def aggregate_reconciliation(
     s = summary.where(notnull).select(
         *key_cols, *measures, F.lit(True).alias("__sum_present")
     )
-    from osas_spark.joins import broadcast_if_small
-
-    s_hinted, _ = broadcast_if_small(s)
-    joined = rollup.join(s_hinted, on=key_cols, how="full_outer")
+    # NO broadcast gate here: Spark cannot broadcast EITHER side of a
+    # full-outer join (every row of both sides must find its partner
+    # exactly once — a replicated side would emit its unmatched rows
+    # once per partition), so a hint is a planner no-op (HintErrorLogger
+    # warning) and the gate's persist+probe job is pure overhead. The
+    # sort-merge join on the keys is the correct plan; AQE splits hot
+    # keys at runtime.
+    joined = rollup.join(s, on=key_cols, how="full_outer")
 
     def _off(m: str) -> Column:
         a, b = F.col(f"__fact_{m}").cast("double"), F.col(m).cast("double")

@@ -69,6 +69,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# sizing-only row estimate (an inaccurate estimate moves the bloom's
+# fpp, never the dedup verdict) — hoisted to joins.py, shared with
+# packing's parallelism default
+from osas_spark.joins import plan_row_count as _plan_row_count
+
 
 def bloom_params(
     n_items: int, fpp: float, max_bytes: int | None = None
@@ -94,19 +99,6 @@ def bloom_params(
     return m, k, eff
 
 
-def _plan_row_count(df: DataFrame) -> int | None:
-    """Catalyst's rowCount statistic for the optimized plan, when the
-    source exposes one (parquet footers via CBO, or a LocalRelation);
-    None otherwise. Sizing-only: an estimate moves the bloom's fpp,
-    never the dedup verdict."""
-    try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        rc = stats.rowCount()
-        if rc.isDefined():
-            return int(rc.get().longValue())
-    except Exception:
-        pass
-    return None
 
 
 def _digest_to_u64_pair(digests: pd.Series) -> tuple[np.ndarray, np.ndarray]:

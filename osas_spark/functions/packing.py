@@ -17,8 +17,14 @@ sharding:
 
 Scale shape: ONE shuffle on the bucket key (repartition) + an
 in-partition sort; each bucket is an independent partition, so
-parallelism = n_buckets regardless of corpus size (pick n_buckets ~
-cores x a few for even load). The next-fit recursion (occupancy
+parallelism = n_buckets regardless of corpus size. By default
+n_buckets is DERIVED from Catalyst's row-count estimate —
+clamp(rows / DEFAULT_ROWS_PER_BUCKET, 64, 65536) — because a fixed
+default is a silent parallelism cap: 64 buckets over a 100 TB corpus
+is 64 tasks each streaming ~1.5 TB through one Python worker. Memory
+stays bounded either way (the scan streams Arrow batches); the derived
+default bounds WALL CLOCK. Pass n_buckets explicitly to pin pack ids
+across runs whose input size differs. The next-fit recursion (occupancy
 resets at each boundary) is NOT a plain window cumsum, so it runs as
 a mapInPandas scan that carries (bucket, occupancy, pack counter)
 ACROSS Arrow batches — peak Python-worker memory is ONE Arrow batch
@@ -48,6 +54,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osas_spark.functions.sampling import sample_key
+from osas_spark.joins import estimate_row_count
+
+# ~a quarter-million docs per bucket: at typical 1-4 KB/doc that is a
+# few hundred MB -> minutes of single-worker stream time per bucket,
+# small enough that stragglers don't dominate, large enough that the
+# bucket shuffle stays coarse. One knob, module-level, test-tunable.
+DEFAULT_ROWS_PER_BUCKET = 250_000
+
+
+def default_n_buckets(df: DataFrame) -> int:
+    """Scale-derived packing parallelism:
+    clamp(estimated_rows / DEFAULT_ROWS_PER_BUCKET, 64, 65536).
+    Uses Catalyst's free plan statistics (rowCount when CBO exposes
+    one, else sizeInBytes / schema row width — see
+    joins.estimate_row_count); an unknown estimate falls back to 64 —
+    the old fixed default — which is only ever a wall-clock cap,
+    never a correctness or memory issue."""
+    rows = estimate_row_count(df)
+    if rows is None:
+        return 64
+    return int(min(max(rows // DEFAULT_ROWS_PER_BUCKET, 64), 65536))
 
 
 def pack_by_budget(
@@ -55,7 +82,7 @@ def pack_by_budget(
     token_col: str,
     budget: int,
     key_cols: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     salt: str = "",
     pack_col: str = "pack_id",
 ) -> DataFrame:
@@ -63,6 +90,11 @@ def pack_by_budget(
     `oversize` (token count alone exceeds the budget) and `pack_col`
     ("<bucket>-<seq>"). Token sums per pack never exceed the budget,
     except packs holding a single oversize row.
+
+    n_buckets=None (default) derives the bucket count from the input's
+    estimated row count (see default_n_buckets) — pack ids depend on
+    the bucket count, so pass it explicitly when ids must be stable
+    across runs over different-sized inputs.
 
     Sequential definition per bucket (the property tests assert, and
     the recursion the DuckDB oracle replays):
@@ -75,6 +107,10 @@ def pack_by_budget(
     """
     if budget <= 0:
         raise ValueError(f"pack_by_budget: budget must be positive, got {budget}")
+    if n_buckets is None:
+        n_buckets = default_n_buckets(df)
+    if n_buckets < 1:
+        raise ValueError(f"pack_by_budget: n_buckets must be >= 1, got {n_buckets}")
     key = sample_key(key_cols, salt)
     # 4 hex chars = 65,536 shard values: n_buckets beyond 256 stays
     # real parallelism, and pmod skew from non-dividing bucket counts

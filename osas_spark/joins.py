@@ -68,6 +68,58 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's rowCount statistic for the optimized plan, when the
+    source exposes one (requires CBO + ANALYZE in most deployments);
+    None otherwise. Sizing-only by contract: callers (bloom filter
+    sizing, packing parallelism defaults) use it to pick knobs, never
+    to decide answers."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(rc.get().longValue())
+    except Exception:
+        pass
+    return None
+
+
+def _schema_row_width(dt) -> int:
+    """Replica of Catalyst defaultSize per type — the divisor Catalyst
+    itself uses to turn sizeInBytes into row estimates."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return sum(_schema_row_width(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_row_width(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_row_width(dt.keyType) + _schema_row_width(dt.valueType)
+    widths = {
+        T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+        T.LongType: 8, T.FloatType: 4, T.DoubleType: 8, T.DateType: 4,
+        T.TimestampType: 8, T.TimestampNTZType: 8, T.StringType: 20,
+        T.BinaryType: 100, T.DecimalType: 16,
+    }
+    return widths.get(type(dt), 8)
+
+
+def estimate_row_count(df: DataFrame) -> int | None:
+    """Best-effort row estimate without running a job: the exact
+    rowCount statistic when the plan exposes one, else Catalyst's
+    sizeInBytes estimate divided by the schema's default row width
+    (the same arithmetic EstimationUtils uses). Order-of-magnitude
+    accuracy — fit for parallelism/sizing defaults only. Returns None
+    when stats carry the unknown-size sentinel (Long.MaxValue-ish)."""
+    rows = plan_row_count(df)
+    if rows is not None:
+        return rows
+    size = plan_size_bytes(df)
+    if size is None or size >= 1 << 60:  # defaultSizeInBytes sentinel
+        return None
+    return size // max(_schema_row_width(df.schema), 1)
+
+
 def broadcast_if_small(
     model: DataFrame,
     limit_rows: int | None = None,

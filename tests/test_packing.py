@@ -72,6 +72,23 @@ def test_packing_invariant_to_partitioning(spark):
     assert a == b
 
 
+def test_default_n_buckets_scales_with_input(spark):
+    """The parallelism default must RISE with the row-count estimate —
+    a fixed 64 over a 100 TB corpus means 64 tasks each streaming
+    ~1.5 TB through one Python worker. Catalyst's stats are plan-side,
+    so the 30M-row probe costs nothing to evaluate."""
+    from pyspark.sql import functions as F
+
+    from osas_spark.functions.packing import default_n_buckets
+
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    assert default_n_buckets(small) == 64  # clamp floor
+    big = spark.range(30_000_000).select(F.col("id").alias("doc_id"))
+    assert default_n_buckets(big) == 120  # 30M / 250k per bucket
+    huge = spark.range(100_000_000_000)
+    assert default_n_buckets(huge) == 65536  # clamp ceiling
+
+
 def test_packing_oversize_sits_alone_and_flagged(spark):
     from osas_spark.functions.packing import pack_by_budget
 
