@@ -2450,22 +2450,12 @@ def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality gate. Composes lang_id_scores + quality_features +
     token_count into ONE aggregation (one scan, one shuffle on the
     slice key). Oracle: full SQL rebuild of all three feature families
-    plus the rollup."""
-    from osas_spark.functions.textfns import lang_id_scores, quality_features
+    plus the rollup. Same code path as the CLI (`runner report` ->
+    osas_spark/pipelines.py)."""
+    from osas_spark.pipelines import corpus_report
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    feat = lang_id_scores(quality_features(docs, "text"), "text")
-    return (
-        feat.groupBy("lang_pred", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_ws_tokens").cast("long").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("mean_quality"),
-            F.round(
-                F.avg((F.col("quality_score") >= 0.75).cast("double")), 4
-            ).alias("pass_rate"),
-        )
-    )
+    return corpus_report(docs, "text", group_cols=["source"])
 
 
 def _build_corpus_report_sql() -> str:
@@ -3248,34 +3238,18 @@ def _curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     least-duplicated docs (functions/sampling.py cap_per_group). Each
     stage is individually oracle-green (redact_secrets, dup_spans,
     cap_per_source); this query proves their COMPOSITION reproduces
-    exactly — the oracle rebuilds all three stages in SQL."""
-    from osas_spark.checks.secrets import redact_secrets
-    from osas_spark.functions.sampling import cap_per_group
-    from osas_spark.functions.spans import duplicated_span_stats
+    exactly — the oracle rebuilds all three stages in SQL. Same code
+    path as the CLI (`runner curate` -> osas_spark/pipelines.py);
+    hash_spans=False here so DuckDB can replay raw span strings."""
+    from osas_spark.pipelines import curation_audit
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "content", _secret_content_col()
     )
-    red = redact_secrets(docs, "content", out_col="clean")
-    stats = duplicated_span_stats(
-        red.select("doc_id", "clean"), "clean", k=8, hash_spans=False
+    return curation_audit(
+        docs, "content", group_cols=["lang", "source"],
+        span_k=8, max_dup_fraction=0.35, cap=20, hash_spans=False,
     )
-    joined = (
-        red.select(
-            "doc_id", "lang", "source",
-            F.col("n_redactions").cast("long").alias("n_redactions"),
-        )
-        .join(stats.select("doc_id", "dup_fraction"), on="doc_id")
-        .where(F.col("dup_fraction") <= 0.35)
-    )
-    return cap_per_group(
-        joined,
-        ["lang", "source"],
-        [F.col("dup_fraction").asc(), F.col("doc_id")],
-        k=20,
-        keep_rank=True,
-    ).select("doc_id", "lang", "source", "n_redactions",
-             "dup_fraction", "group_rank")
 
 
 def _build_curation_audit_sql() -> str:

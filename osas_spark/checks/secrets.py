@@ -56,6 +56,96 @@ SECRET_RULES: list[tuple[str, str]] = [
 ]
 
 
+def validate_secret_rule(name: str, pattern: str) -> None:
+    """Reject rules outside the contract every engine-pair guarantee
+    here rests on: patterns must behave identically under Java regex
+    (Spark codegen), RE2 (DuckDB oracle) and Python re (tests), and
+    group-0 extraction must be the whole match.
+
+    - must compile under Python re;
+    - ZERO capture groups (re.findall returns tuples otherwise, and
+      group-0 semantics diverge; use (?:...) — this also makes
+      backreferences impossible);
+    - no lookaround / atomic groups / possessive quantifiers (Java and
+      Python accept them, RE2 does not — the oracle would error or
+      silently diverge);
+    - rule name must be a lowercase identifier (it becomes the
+      SECRET_<NAME> label and the findings 'rule' column).
+    """
+    import re as _re
+
+    if not _re.fullmatch(r"[a-z][a-z0-9_]*", name or ""):
+        raise ValueError(
+            f"secret rule name {name!r} must be a lowercase identifier"
+        )
+    try:
+        compiled = _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"secret rule {name!r}: pattern does not compile: {e}")
+    if compiled.groups:
+        raise ValueError(
+            f"secret rule {name!r}: capture groups are not allowed "
+            f"(use non-capturing (?:...))"
+        )
+    for marker, what in [
+        ("(?=", "lookahead"), ("(?!", "negative lookahead"),
+        ("(?<=", "lookbehind"), ("(?<!", "negative lookbehind"),
+        ("(?>", "atomic group"),
+        ("*+", "possessive quantifier"), ("++", "possessive quantifier"),
+        ("?+", "possessive quantifier"), ("}+", "possessive quantifier"),
+    ]:
+        if marker in pattern:
+            raise ValueError(
+                f"secret rule {name!r}: {what} ({marker!r}) is outside "
+                f"the RE2-compatible subset the oracle requires"
+            )
+
+
+def load_secret_rules(path: str) -> list[tuple[str, str]]:
+    """Load a YAML secrets rule pack — the deployment hook for
+    org-specific patterns (internal token prefixes, service-account
+    naming) on top of or instead of the public-knowledge default pack.
+    Same S6 house pattern as checks/rules.py::load_rules: YAML in,
+    validated typed config out, no eval anywhere.
+
+    Format::
+
+        rules:
+          - name: my_org_token
+            pattern: "myorg_[A-Za-z0-9]{20}"
+
+    Every rule passes validate_secret_rule (RE2-compatible subset,
+    zero capture groups) so a loaded pack keeps the engine-pair
+    equivalence guarantees of the built-in SECRET_RULES."""
+    try:
+        import yaml
+    except ImportError:  # pragma: no cover - baked into this image
+        raise RuntimeError("pyyaml not available")
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    if not isinstance(doc, dict) or not isinstance(doc.get("rules"), list):
+        raise ValueError(
+            f"secret rule pack {path}: expected a mapping with a 'rules' list"
+        )
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for i, item in enumerate(doc["rules"]):
+        if not isinstance(item, dict) or not {"name", "pattern"} <= set(item):
+            raise ValueError(
+                f"secret rule pack {path}: rules[{i}] must be a mapping "
+                f"with 'name' and 'pattern'"
+            )
+        name, pattern = str(item["name"]), str(item["pattern"])
+        validate_secret_rule(name, pattern)
+        if name in seen:
+            raise ValueError(f"secret rule pack {path}: duplicate rule {name!r}")
+        seen.add(name)
+        out.append((name, pattern))
+    if not out:
+        raise ValueError(f"secret rule pack {path}: empty rule list")
+    return out
+
+
 def _tagger(name: str):
     """Single-argument closure factory — NOT `lambda m, _n=name:`.
     PySpark's transform() dispatches on the callable's ARITY: a

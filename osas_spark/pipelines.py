@@ -1,0 +1,95 @@
+"""Composed pipelines — the multi-operator flows a corpus team runs as
+single jobs, packaged so the CLI (runner.py `report` / `curate`) and
+the driver-contract queries execute the SAME code path the DuckDB
+oracles verify.
+
+Each stage is an individually oracle-green operator; these functions
+add only composition (no new semantics), so their scale shape is the
+union of the stages': one scan + one rollup shuffle for the report;
+one redaction projection + the span-stats aggregation + one top-k
+shuffle for the curation audit.
+
+Reference parity: the reference's pipeline.py composes label
+generators + scorer over one table (src/osas/pipeline/pipeline.py:
+89-167); these are the corpus-curation analogues of that composition
+layer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("source",),
+    quality_threshold: float = 0.75,
+) -> DataFrame:
+    """Corpus report card: per (predicted language, *group_cols) —
+    doc count, total whitespace tokens, mean quality score, and the
+    share of docs passing the quality gate. Composes lang_id_scores +
+    quality_features + token counts into ONE aggregation: one scan,
+    one shuffle on the slice key."""
+    from osas_spark.functions.textfns import lang_id_scores, quality_features
+
+    feat = lang_id_scores(quality_features(docs, text_col), text_col)
+    return feat.groupBy("lang_pred", *group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+        F.round(
+            F.avg((F.col("quality_score") >= quality_threshold).cast("double")),
+            4,
+        ).alias("pass_rate"),
+    )
+
+
+def curation_audit(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    group_cols: Sequence[str] = ("lang", "source"),
+    span_k: int = 8,
+    max_dup_fraction: float = 0.35,
+    cap: int = 20,
+    rules: Sequence[tuple[str, str]] | None = None,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Audit-curation pipeline: secret REDACTION -> duplicated-span
+    gate (drop docs whose dup_fraction on the REDACTED text exceeds
+    `max_dup_fraction`) -> per-group cap keeping the `cap`
+    least-duplicated docs. Output: id_col, *group_cols, n_redactions,
+    dup_fraction, group_rank.
+
+    hash_spans=True (default) shuffles xxhash64 span keys (8-byte
+    width); the driver-contract query passes False so DuckDB can
+    replay raw span strings."""
+    from osas_spark.checks.secrets import redact_secrets
+    from osas_spark.functions.sampling import cap_per_group
+    from osas_spark.functions.spans import duplicated_span_stats
+
+    group_cols = list(group_cols)
+    red = redact_secrets(docs, content_col, rules=rules, out_col="clean")
+    stats = duplicated_span_stats(
+        red.select(id_col, "clean"), "clean", k=span_k, hash_spans=hash_spans
+    )
+    joined = (
+        red.select(
+            id_col, *group_cols,
+            F.col("n_redactions").cast("long").alias("n_redactions"),
+        )
+        .join(stats.select(id_col, "dup_fraction"), on=id_col)
+        .where(F.col("dup_fraction") <= max_dup_fraction)
+    )
+    return cap_per_group(
+        joined,
+        group_cols,
+        [F.col("dup_fraction").asc(), F.col(id_col)],
+        k=cap,
+        keep_rank=True,
+    ).select(id_col, *group_cols, "n_redactions", "dup_fraction",
+             "group_rank")

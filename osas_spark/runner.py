@@ -76,10 +76,13 @@ def cmd_audit(args) -> None:
     deploy shape for 10^12-file tables: the nightly job passes
     yesterday's snapshot + findings and pays churn cost only."""
     from osas_spark.checks.delta import incremental_findings
-    from osas_spark.checks.secrets import scan_secrets, secret_verdicts
+    from osas_spark.checks.secrets import (
+        load_secret_rules, scan_secrets, secret_verdicts,
+    )
 
     spark = get_spark(app_name="osas_audit", master=args.master)
     key_cols = tuple(args.key_cols.split(","))
+    rules = load_secret_rules(args.rules) if args.rules else None
     new = _read(spark, args.input)
 
     computed_digest = []  # which inputs lacked the digest column
@@ -98,7 +101,8 @@ def cmd_audit(args) -> None:
         )
 
     def scan(df):
-        return scan_secrets(df, args.content_col, id_cols=key_cols)
+        return scan_secrets(df, args.content_col, id_cols=key_cols,
+                            rules=rules)
 
     if args.previous:
         if not args.prior_findings:
@@ -139,6 +143,44 @@ def cmd_audit(args) -> None:
         sys.exit(3)
 
 
+def cmd_report(args) -> None:
+    """Corpus report card (pipelines.corpus_report): per (lang_pred,
+    *group-cols) doc counts, token totals, quality stats. One scan,
+    one rollup shuffle."""
+    from osas_spark.pipelines import corpus_report
+
+    spark = get_spark(app_name="osas_report", master=args.master)
+    docs = _read(spark, args.input)
+    out = corpus_report(
+        docs, text_col=args.text_col,
+        group_cols=[c for c in args.group_cols.split(",") if c],
+        quality_threshold=args.quality_threshold,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"status": "reported", "slices": n}))
+
+
+def cmd_curate(args) -> None:
+    """Audit-curation pipeline (pipelines.curation_audit): redact
+    secrets -> duplicated-span gate -> per-group least-duplicated cap.
+    Accepts the same --rules YAML pack as `audit`."""
+    from osas_spark.checks.secrets import load_secret_rules
+    from osas_spark.pipelines import curation_audit
+
+    spark = get_spark(app_name="osas_curate", master=args.master)
+    docs = _read(spark, args.input)
+    rules = load_secret_rules(args.rules) if args.rules else None
+    out = curation_audit(
+        docs, content_col=args.content_col, id_col=args.id_col,
+        group_cols=[c for c in args.group_cols.split(",") if c],
+        max_dup_fraction=args.max_dup_fraction, cap=args.cap, rules=rules,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"status": "curated", "kept": n}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="osas_spark.runner")
     p.add_argument("--master", default=None)
@@ -171,11 +213,42 @@ def main(argv: list[str] | None = None) -> None:
     a.add_argument("--content-col", dest="content_col", default="content")
     a.add_argument("--key-cols", dest="key_cols", default="repo,path")
     a.add_argument("--digest-col", dest="digest_col", default="content_sha256")
+    a.add_argument(
+        "--rules", default=None,
+        help="YAML secrets rule pack (name/pattern list, RE2-subset "
+             "validated); default = built-in SECRET_RULES",
+    )
     a.add_argument("--fail-on-findings", action="store_true")
     a.set_defaults(fn=cmd_audit)
 
+    r = sub.add_parser(
+        "report", help="corpus report card: lang/quality/token rollup"
+    )
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--text-col", dest="text_col", default="text")
+    r.add_argument("--group-cols", dest="group_cols", default="source")
+    r.add_argument("--quality-threshold", dest="quality_threshold",
+                   type=float, default=0.75)
+    r.set_defaults(fn=cmd_report)
+
+    c = sub.add_parser(
+        "curate", help="redact -> span-dup gate -> per-group cap"
+    )
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--content-col", dest="content_col", default="content")
+    c.add_argument("--id-col", dest="id_col", default="doc_id")
+    c.add_argument("--group-cols", dest="group_cols", default="lang,source")
+    c.add_argument("--max-dup-fraction", dest="max_dup_fraction",
+                   type=float, default=0.35)
+    c.add_argument("--cap", type=int, default=20)
+    c.add_argument("--rules", default=None,
+                   help="YAML secrets rule pack (same format as audit)")
+    c.set_defaults(fn=cmd_curate)
+
     args = p.parse_args(argv)
-    # argparse puts --master on the namespace for both subcommands
+    # argparse puts --master on the namespace for all subcommands
     args.fn(args)
 
 

@@ -379,6 +379,122 @@ def test_runner_audit_fail_flag_and_arg_validation(spark, tmp_path, capsys):
               "--findings", str(tmp_path / "f0")])
 
 
+def test_load_secret_rules_custom_pack(tmp_path):
+    from osas_spark.checks.secrets import load_secret_rules
+
+    p = tmp_path / "pack.yaml"
+    p.write_text(
+        "rules:\n"
+        "  - name: my_org_token\n"
+        "    pattern: \"myorg_[A-Za-z0-9]{20}\"\n"
+        "  - name: internal_pem\n"
+        "    pattern: \"-----BEGIN INTERNAL KEY-----\"\n"
+    )
+    rules = load_secret_rules(str(p))
+    assert rules == [
+        ("my_org_token", r"myorg_[A-Za-z0-9]{20}"),
+        ("internal_pem", "-----BEGIN INTERNAL KEY-----"),
+    ]
+
+
+def test_load_secret_rules_rejects_unsafe_patterns(tmp_path):
+    """The loader must hold the engine-pair contract: RE2 subset, no
+    capture groups, identifier names — a pack that compiles under Java
+    but errors or diverges under the DuckDB oracle is a validation
+    engine lying about its own validation."""
+    from osas_spark.checks.secrets import load_secret_rules
+
+    def pack(name, pattern):
+        p = tmp_path / "bad.yaml"
+        p.write_text(f"rules:\n  - name: {name}\n    pattern: '{pattern}'\n")
+        return str(p)
+
+    for name, pat, why in [
+        ("cap_group", "(abc)def", "capture group"),
+        ("lookahead", "abc(?=def)", "lookahead"),
+        ("lookbehind", "(?<=x)y", "lookbehind"),
+        ("backref_impossible", "(a)\\1", "capture group implies backref"),
+        ("BadName", "abc", "non-identifier name"),
+        ("broken", "[unclosed", "does not compile"),
+    ]:
+        with pytest.raises(ValueError):
+            load_secret_rules(pack(name, pat)), why
+    # structural rejections
+    (tmp_path / "shape.yaml").write_text("- just\n- a list\n")
+    with pytest.raises(ValueError, match="rules"):
+        load_secret_rules(str(tmp_path / "shape.yaml"))
+    (tmp_path / "dup.yaml").write_text(
+        "rules:\n"
+        "  - {name: a_rule, pattern: abc}\n"
+        "  - {name: a_rule, pattern: def}\n"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        load_secret_rules(str(tmp_path / "dup.yaml"))
+    (tmp_path / "empty.yaml").write_text("rules: []\n")
+    with pytest.raises(ValueError, match="empty"):
+        load_secret_rules(str(tmp_path / "empty.yaml"))
+
+
+def test_runner_audit_custom_rules(spark, tmp_path, capsys):
+    """audit --rules swaps the whole pack: the org token fires, the
+    default-pack github token does NOT (custom pack replaces, not
+    extends — extending is cat-your-own-yaml)."""
+    import json
+
+    from osas_spark.runner import main
+
+    pack = tmp_path / "pack.yaml"
+    pack.write_text(
+        "rules:\n  - name: my_org_token\n"
+        "    pattern: \"myorg_[A-Za-z0-9]{8}\"\n"
+    )
+    data = str(tmp_path / "snap")
+    spark.createDataFrame([
+        ("r", "a", "uses myorg_AAAABBBB here"),
+        ("r", "b", "ghp_abcdefghijklmnop"),  # default rule, not in pack
+    ], ["repo", "path", "content"]).write.parquet(data)
+    out = str(tmp_path / "findings")
+    main(["audit", "--input", data, "--findings", out,
+          "--rules", str(pack)])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["findings"] == 1
+    rows = spark.read.parquet(out).collect()
+    assert [(x["path"], x["rule"]) for x in rows] == [("a", "my_org_token")]
+
+
+def test_runner_report_and_curate(spark, tmp_path, capsys):
+    """The composed pipelines are reachable from the CLI: report
+    produces per-(lang_pred, source) slices; curate redacts + gates +
+    caps and keeps the clean doc."""
+    import json
+
+    from osas_spark.runner import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame([
+        (1, "en", "web", "this is a perfectly normal document with words"),
+        (2, "en", "web", "token ghp_abcdefghijklmnop leaked into an "
+                         "otherwise ordinary file with distinct words"),
+        (3, "de", "web", "der die das und nicht von ist ein"),
+    ], ["doc_id", "lang", "source", "content"]).write.parquet(docs)
+
+    rep = str(tmp_path / "report")
+    main(["report", "--input", docs, "--output", rep,
+          "--text-col", "content"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["status"] == "reported" and r["slices"] >= 2
+    cols = set(spark.read.parquet(rep).columns)
+    assert {"lang_pred", "source", "n_docs", "total_tokens",
+            "mean_quality", "pass_rate"} <= cols
+
+    cur = str(tmp_path / "curated")
+    main(["curate", "--input", docs, "--output", cur])
+    c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c["status"] == "curated" and c["kept"] >= 1
+    rows = {x["doc_id"]: x for x in spark.read.parquet(cur).collect()}
+    assert rows[2]["n_redactions"] == 1  # the ghp_ token was scrubbed
+
+
 # ------------------------------------------------- column_diff (r4)
 
 def test_column_diff_statuses_and_attribution(spark):
