@@ -3153,6 +3153,145 @@ FROM c
 """
 
 
+def _pii_content_col():
+    """Deterministic PII injection over documents.text — synthetic
+    identifiers appended by doc_id residue class so both engines build
+    the identical corpus: email (%37), IPv4 (%41), US phone (%43),
+    SSN (%47). The PII twin of _secret_content_col()."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 37 == 0,
+            F.concat(F.lit(" contact "), F.substring(h, 1, 8),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 41 == 0,
+            F.concat(F.lit(" host 10."), (d % 200).cast("string"),
+                     F.lit("."), ((d + 7) % 200).cast("string"),
+                     F.lit("."), ((d + 13) % 200).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 43 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((d % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 47 == 0,
+            F.concat(F.lit(" ssn "),
+                     F.lpad((d % 900).cast("string"), 3, "0"), F.lit("-"),
+                     F.lpad((d % 90).cast("string"), 2, "0"), F.lit("-"),
+                     F.lpad((d % 9000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_CONTENT_CTE = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 37 = 0
+            THEN ' contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 41 = 0
+            THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.' || CAST((doc_id + 7) % 200 AS VARCHAR)
+                 || '.' || CAST((doc_id + 13) % 200 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 43 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 47 = 0
+            THEN ' ssn ' || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')
+            ELSE '' END AS content
+  FROM documents
+"""
+
+
+def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII findings with lineage: (doc_id, rule, finding) over the
+    synthetic PII-injected corpus — the Dolma-style personal-identifier
+    sweep (email/IPv4/phone/SSN, checks/secrets.py PII_RULES) as a
+    first-class violation stream. Same zero-shuffle scan shape as
+    secret_scan; the oracle replays the RE2-safe patterns in DuckDB."""
+    from osas_spark.checks.secrets import PII_RULES, scan_secrets
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content", _pii_content_col()
+    )
+    return scan_secrets(docs, "content", id_cols=("doc_id",),
+                        rules=PII_RULES)
+
+
+def _build_pii_scan_sql() -> str:
+    from osas_spark.checks.secrets import PII_RULES
+
+    rule_rows = ",\n  ".join(
+        "('{}', '{}')".format(name, pat.replace("'", "''"))
+        for name, pat in PII_RULES
+    )
+    return f"""
+WITH c AS ({_PII_CONTENT_CTE}),
+rules(rule, pat) AS (VALUES
+  {rule_rows}
+)
+SELECT c.doc_id, r.rule,
+       unnest(regexp_extract_all(c.content, r.pat)) AS finding
+FROM c CROSS JOIN rules r
+"""
+
+
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrubbed corpus: (doc_id, clean, n_redactions) — the
+    training-feed counterpart of pii_scan, chained JVM regexp_replace
+    in pack order with [PII:rule] placeholders (charset-disjoint from
+    every PII pattern, so later rules never re-match). Hash-green here
+    proves byte-parity replacement between java.util.regex and RE2
+    over the whole corpus, like redact_secrets."""
+    from osas_spark.checks.secrets import PII_RULES, redact_secrets
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content", _pii_content_col()
+    )
+    return redact_secrets(
+        docs, "content", rules=PII_RULES, template="[PII:{rule}]",
+        out_col="clean",
+    ).select(
+        "doc_id", "clean",
+        F.col("n_redactions").cast("long").alias("n_redactions"),
+    )
+
+
+def _build_redact_pii_sql() -> str:
+    from osas_spark.checks.secrets import PII_RULES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "content"
+    for name, pat in PII_RULES:
+        expr = (f"regexp_replace({expr}, '{esc(pat)}', "
+                f"'[PII:{name}]', 'g')")
+    count = " + ".join(
+        f"len(regexp_extract_all(content, '{esc(pat)}'))"
+        for _, pat in PII_RULES
+    )
+    return f"""
+WITH c AS ({_PII_CONTENT_CTE})
+SELECT doc_id,
+       {expr} AS clean,
+       CAST({count} AS BIGINT) AS n_redactions
+FROM c
+"""
+
+
 def _incremental_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE incremental-validation equivalence, oracle-proven: findings
     for a new commit snapshot computed via checks/delta.py
@@ -3378,6 +3517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_purchase": _asof_next_purchase,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        "pii_scan": _pii_scan,
+        "redact_pii": _redact_pii,
         "suite_verdicts": _suite_verdicts,
         "profile_stats": _profile_stats,
         "freq_map": _freq_map,
@@ -3473,6 +3614,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_file_delta": _SNAPSHOT_FILE_DELTA_SQL,
         "secret_scan": _build_secret_scan_sql(),
         "redact_secrets": _build_redact_secrets_sql(),
+        "pii_scan": _build_pii_scan_sql(),
+        "redact_pii": _build_redact_pii_sql(),
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "scrub_spans": _SCRUB_SPANS_SQL,

@@ -55,6 +55,23 @@ SECRET_RULES: list[tuple[str, str]] = [
     ("hex_secret", r"\b[0-9a-f]{40,}\b"),
 ]
 
+# PII rule pack — the other scrub every pretraining pipeline runs
+# (Dolma/RedPajama-style): personal identifiers are removed from
+# training corpora regardless of whether they are "secrets". Same
+# contract as SECRET_RULES (RE2-compatible subset, zero capture
+# groups — validated by the same test), usable anywhere a rules=
+# parameter is accepted: scan_secrets, redact_secrets, SecretsCheck,
+# the audit/curate CLI via a YAML pack. Public-knowledge patterns;
+# precision-biased like the secrets pack (a PARTITION-failing verdict
+# must not be arguable), so no bare 10-digit "maybe a phone" rules.
+PII_RULES: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    # NNN-NNN-NNNN / NNN.NNN.NNNN / NNN NNN NNNN with optional (NNN)
+    ("phone_us", r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+]
+
 
 def validate_secret_rule(name: str, pattern: str) -> None:
     """Reject rules outside the contract every engine-pair guarantee

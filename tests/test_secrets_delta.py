@@ -53,11 +53,52 @@ def test_scan_matches_python_re(spark):
 def test_rules_have_no_capture_groups():
     """re.findall returns tuples once a pattern has capture groups —
     and Spark/DuckDB group-0 extraction would silently diverge from
-    the test oracle. Lock the invariant."""
-    from osas_spark.checks.secrets import SECRET_RULES
+    the test oracle. Lock the invariant for BOTH built-in packs, via
+    the same validator user packs go through."""
+    from osas_spark.checks.secrets import (
+        PII_RULES, SECRET_RULES, validate_secret_rule,
+    )
 
-    for name, pat in SECRET_RULES:
+    for name, pat in SECRET_RULES + PII_RULES:
         assert re.compile(pat).groups == 0, name
+        validate_secret_rule(name, pat)  # full RE2-subset contract
+
+
+def test_pii_rules_match_and_redact(spark):
+    """The PII pack fires on planted identifiers, stays quiet on
+    benign text, and redaction placeholders never re-match."""
+    from osas_spark.checks.secrets import (
+        PII_RULES, redact_secrets, scan_secrets,
+    )
+
+    df = spark.createDataFrame([
+        (1, "mail me at jane.doe+spam@sub.example.co thanks"),
+        (2, "server at 192.168.10.254 port 443"),
+        (3, "call (555) 867-5309 or 555-867-5309"),
+        (4, "ssn 078-05-1120 on file"),
+        (5, "version 1.2.3 of lib at 99% speed, err 12-34"),
+    ], "doc_id long, content string")
+    found = {(r["doc_id"], r["rule"]) for r in
+             scan_secrets(df, "content", id_cols=("doc_id",),
+                          rules=PII_RULES).collect()}
+    assert ("1", "email") not in found  # ids keep their type
+    assert {(1, "email"), (2, "ipv4"), (3, "phone_us"),
+            (4, "ssn")} <= found
+    assert not any(d == 5 for d, _ in found), "benign text flagged"
+    red = {r["doc_id"]: r for r in
+           redact_secrets(df, "content", rules=PII_RULES,
+                          template="[PII:{rule}]", out_col="clean").collect()}
+    assert "[PII:email]" in red[1]["clean"]
+    assert "@" not in red[1]["clean"].replace("[PII:email]", "")
+    assert red[3]["n_redactions"] == 2
+    assert red[5]["clean"] == red[5]["content"]
+    # placeholders are inert under a second pass
+    again = redact_secrets(
+        spark.createDataFrame([(1, red[1]["clean"])],
+                              "doc_id long, content string"),
+        "content", rules=PII_RULES, template="[PII:{rule}]",
+    ).collect()[0]
+    assert again["n_redactions"] == 0
 
 
 def test_scan_is_single_stage_no_shuffle(spark):
