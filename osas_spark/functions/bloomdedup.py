@@ -151,7 +151,10 @@ def build_digest_bloom(
     row; the rows are then OR-folded EXECUTOR-SIDE in a two-level tree
     — repartition(fold_fanin) with a streaming OR per task, then
     repartition(1) for the final OR — so the driver collects exactly
-    one bitmap. Peak driver allocation is O(filter_size); peak per-task
+    one bitmap (scans of <= 8 partitions skip the tree and collect
+    directly: <= 8 bitmaps is still O(filter_size) and saves two
+    shuffle stages of fixed overhead at bench/test scale). Peak driver
+    allocation is O(filter_size); peak per-task
     allocation is accumulator + one row (the fold streams the Python
     iterator, deliberately NOT mapInPandas, whose Arrow batching would
     materialize up to maxRecordsPerBatch bitmaps per batch). The
@@ -189,17 +192,27 @@ def build_digest_bloom(
 
     parts = src.mapInPandas(_partition_bitmap, schema="bitmap binary")
     rdd = parts.rdd.map(lambda r: bytes(r[0]))
-    if fold_fanin > 1 and rdd.getNumPartitions() > fold_fanin:
-        # level 1: fold P partition-bitmaps down to fold_fanin partials
-        # in parallel (OR is associative+commutative, so any grouping
-        # folds to the same bitmap — the partitioning-invariance test)
-        rdd = rdd.repartition(fold_fanin).mapPartitions(_or_fold_bitmaps)
-    # level 2: one task streams the remaining partials; driver gets 1 row
-    final = rdd.repartition(1).mapPartitions(_or_fold_bitmaps).collect()
-    if final:
-        bitmap = np.frombuffer(final[0], dtype=np.uint8)
+    n_parts = rdd.getNumPartitions()
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    if n_parts <= 8:
+        # small scan (bench tiers, unit fixtures): the tree's two extra
+        # shuffle stages are pure fixed overhead, and a direct collect
+        # of <= 8 bitmaps keeps driver peak <= 8 x filter — still
+        # O(filter_size), just with a small constant
+        for b in rdd.collect():
+            bitmap |= np.frombuffer(b, dtype=np.uint8)
     else:
-        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        if fold_fanin > 1 and n_parts > fold_fanin:
+            # level 1: fold P partition-bitmaps down to fold_fanin
+            # partials in parallel (OR is associative+commutative, so
+            # any grouping folds to the same bitmap — the
+            # partitioning-invariance test)
+            rdd = rdd.repartition(fold_fanin).mapPartitions(_or_fold_bitmaps)
+        # level 2: one task streams the remaining partials; the driver
+        # collects exactly ONE row
+        final = rdd.repartition(1).mapPartitions(_or_fold_bitmaps).collect()
+        if final:
+            bitmap = np.frombuffer(final[0], dtype=np.uint8).copy()
     return bitmap.tobytes(), m, k, n_items
 
 
