@@ -110,6 +110,9 @@ HEADLINE = [
     "completeness_verdicts",  # fused per-partition null-rate grid
     "column_diff",         # full-outer column-level reconciliation
     "aggregate_reconcile", # fact-vs-summary rollup reconciliation
+    # round-5 additions
+    "pii_scan",            # zero-shuffle PII findings stream
+    "redact_pii",          # zero-shuffle chained PII scrub
 ]
 
 
