@@ -3496,6 +3496,99 @@ FROM o FULL OUTER JOIN n USING (repo, path)
 """
 
 
+_MIX_WEIGHTS = {"ghost": 0.0, "src0": 0.3, "src1": 0.6, "src2": 0.1}
+_MIX_BUDGET = 50_000
+_MIX_MAX_RATE = 2.0
+
+
+def _mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: target weights + a global token budget ->
+    per-source sampling rates for mix_corpora
+    (functions/sampling.py plan_mixture). One map-side-combined agg
+    over the corpus, full-outer-joined with the parameter-sized
+    weight relation — no collect, no other shuffle. The fixture plan
+    exercises every branch: src1 hits the epoch cap (rate clamped to
+    2.0, capped=true), src0/src2 land fractional rates, 'ghost' is a
+    configured-but-absent source (n_docs=0 row), and the 17 unweighted
+    sources carry rate 0."""
+    from osas_spark.functions.sampling import plan_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return plan_mixture(
+        docs, "source", _MIX_WEIGHTS, _MIX_BUDGET, "n_chars",
+        max_rate=_MIX_MAX_RATE,
+    )
+
+
+def _build_mixture_plan_sql() -> str:
+    """Oracle replays the identical double arithmetic: normalized
+    weights inlined as the SAME python floats the engine passes to
+    lit(), all literals CAST AS DOUBLE (DuckDB bare decimals are
+    DECIMAL, which would divide differently), planned_tokens floors
+    the UNROUNDED rate exactly like the engine."""
+    total = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{k}', CAST({v / total!r} AS DOUBLE))"
+        for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    raw = (
+        f"CAST({float(_MIX_BUDGET)!r} AS DOUBLE) * weight / n_tokens"
+    )
+    rate = f"least({raw}, CAST({float(_MIX_MAX_RATE)!r} AS DOUBLE))"
+    live = "weight > 0 AND n_tokens > 0"
+    return f"""
+WITH stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w(source, weight) AS (VALUES {vals}),
+j AS (
+  SELECT coalesce(stats.source, w.source) AS source,
+         coalesce(n_docs, 0) AS n_docs,
+         coalesce(n_tokens, 0) AS n_tokens,
+         coalesce(weight, CAST(0.0 AS DOUBLE)) AS weight
+  FROM stats FULL OUTER JOIN w ON stats.source = w.source
+)
+SELECT source, n_docs, n_tokens, weight,
+       round(CASE WHEN {live} THEN {rate}
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS rate,
+       coalesce({live} AND ({raw}) > CAST({float(_MIX_MAX_RATE)!r} AS DOUBLE),
+                FALSE) AS capped,
+       CAST(floor((CASE WHEN {live} THEN {rate}
+                        ELSE CAST(0.0 AS DOUBLE) END) * n_tokens)
+            AS BIGINT) AS planned_tokens
+FROM j
+"""
+
+
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way corpus sharding manifest: md5-derived
+    shard ids (pure per-row arithmetic, zero-shuffle tag) rolled into
+    per-shard doc/token/byte totals with ONE map-side-combined agg —
+    the balance check before a sharded training-data write
+    (functions/sampling.py shard_manifest)."""
+    from osas_spark.functions.sampling import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(
+        docs, 16, ["doc_id"], token_col="n_chars", bytes_col="text",
+        salt="r5",
+    )
+
+
+_SHARD_MANIFEST_SQL = """
+SELECT CAST(CAST(('0x' || substr(md5(concat_ws('|', 'r5',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 16 AS INT)
+         AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -3512,6 +3605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green rows trail. Coverage goal: every oracle-bearing query
     # green in SOME round's CORRECTNESS file.
     return {
+        "mixture_plan": _mixture_plan,
+        "shard_manifest": _shard_manifest,
         "text_repetition": _text_repetition,
         "corpus_report": _corpus_report,
         "asof_next_purchase": _asof_next_purchase,
@@ -3592,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mixture_plan": _build_mixture_plan_sql(),
+        "shard_manifest": _SHARD_MANIFEST_SQL,
         "suite_verdicts": _SUITE_VERDICTS_SQL,
         "profile_stats": _PROFILE_STATS_SQL,
         "freq_map": _FREQ_MAP_SQL,

@@ -113,6 +113,8 @@ HEADLINE = [
     # round-5 additions
     "pii_scan",            # zero-shuffle PII findings stream
     "redact_pii",          # zero-shuffle chained PII scrub
+    "mixture_plan",        # one-agg mixture planning (weights+budget -> rates)
+    "shard_manifest",      # md5-sharded corpus manifest rollup
 ]
 
 

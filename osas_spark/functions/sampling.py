@@ -203,6 +203,165 @@ def mix_corpora(
     return out
 
 
+def plan_mixture(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str,
+    max_rate: float = 5.0,
+) -> DataFrame:
+    """Turn a target mixture ("30% code, 60% web, 10% books") plus a
+    global token budget into the per-source sampling RATES that
+    `mix_corpora` consumes — the planning step every dataset-mixing
+    recipe does by hand with a spreadsheet.
+
+    For each source s with observed tokens T_s and normalized weight
+    w_s: rate_s = budget * w_s / T_s. Rates above `max_rate` are
+    clamped (repeating a tiny source 50x degrades models faster than
+    missing the mixture target — the standard epoch cap) and flagged
+    in `capped`, so the caller can see exactly where the plan falls
+    short: planned_tokens uses the CLAMPED rate, so
+    sum(planned_tokens) < budget iff something capped.
+
+    Sources present in the data but absent from `weights` get rate 0
+    (excluded, visible in the plan); weights naming sources absent
+    from the data show up as n_docs = 0 / rate = 0 rows — a silent
+    zero-token source is a misconfigured pipeline, and the plan makes
+    it loud without a validation action (`plan_and_mix` raises on it).
+
+    Scale shape: ONE map-side-combined aggregation over the corpus
+    (group by source); the mixture arithmetic runs on the grouped
+    result (one row per source) full-outer-joined with the
+    parameter-sized weight relation. No other shuffle, no collect.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"plan_mixture: token_budget must be positive, got {token_budget}")
+    if not weights:
+        raise ValueError("plan_mixture: weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"plan_mixture: weights must be non-negative and sum > 0: {weights}")
+    if max_rate <= 0:
+        raise ValueError(f"plan_mixture: max_rate must be positive, got {max_rate}")
+    total_w = float(sum(weights.values()))
+    stats = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+    )
+    # the weight table is parameter-sized (one row per configured
+    # source); full outer so both mismatch directions surface as rows
+    spark = df.sparkSession
+    w_rows = [(k, float(v) / total_w) for k, v in sorted(weights.items())]
+    wdf = spark.createDataFrame(w_rows, "source string, weight double")
+    raw = F.lit(float(token_budget)) * F.col("weight") / F.col("n_tokens")
+    rate = F.least(raw, F.lit(float(max_rate)))
+    live = (F.col("weight") > 0) & (F.col("n_tokens") > 0)
+    return (
+        stats.join(wdf, "source", "full_outer")
+        .withColumn("weight", F.coalesce("weight", F.lit(0.0)))
+        .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn("rate", F.when(live, rate).otherwise(F.lit(0.0)))
+        .withColumn("capped", F.coalesce(live & (raw > F.lit(float(max_rate))), F.lit(False)))
+        .withColumn(
+            "planned_tokens",
+            F.floor(F.col("rate") * F.col("n_tokens")).cast("long"),
+        )
+        .withColumn("rate", F.round("rate", 6))
+        .select("source", "n_docs", "n_tokens", "weight", "rate", "capped", "planned_tokens")
+    )
+
+
+def plan_and_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str,
+    key_cols: list[str],
+    salt: str = "",
+    max_rate: float = 5.0,
+) -> DataFrame:
+    """plan_mixture -> mix_corpora in one call: compute the rates and
+    apply them. The only driver materialization is the plan itself
+    (one row per source — parameter-sized, same acceptance class as
+    the scalar stats reads)."""
+    plan = plan_mixture(df, source_col, weights, token_budget, token_col, max_rate)
+    rows = plan.collect()
+    dead = [r["source"] for r in rows if r["weight"] > 0 and r["n_tokens"] == 0]
+    if dead:
+        raise ValueError(
+            f"plan_and_mix: weighted sources have no tokens in the data: {dead}"
+        )
+    rates = {r["source"]: r["rate"] for r in rows if r["rate"] > 0}
+    return mix_corpora(
+        {s: (df.where(F.col(source_col) == s), rate) for s, rate in rates.items()},
+        key_cols=key_cols,
+        salt=salt,
+    )
+
+
+def shard_key(key_cols: list[str], n_shards: int, salt: str = "") -> F.Column:
+    """Deterministic shard id in [0, n_shards): the first 8 hex chars
+    of the row's md5 draw, read as an integer, mod n_shards. Pure
+    per-row arithmetic — identical across runs/retries/partitionings
+    and replayable by any engine with md5 (the oracle uses DuckDB's
+    ('0x'||hex)::bigint; Spark's conv(hex,16,10) — same value, 8 hex
+    chars always fit int64)."""
+    if n_shards <= 0:
+        raise ValueError(f"shard_key: n_shards must be positive, got {n_shards}")
+    h8 = F.substring(sample_key(key_cols, salt), 1, 8)
+    return F.pmod(F.conv(h8, 16, 10).cast("long"), F.lit(n_shards)).cast("int")
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: list[str],
+    salt: str = "",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Tag every row with its deterministic output shard — the writer
+    step of a training-data pipeline ("emit the corpus as N stable
+    files a loader can stream/seek"). md5 uniformity makes shard
+    sizes even without sampling-based range boundaries (which are
+    nondeterministic under retries — exactly what this module bans);
+    content-hash sharding also means an incremental rewrite touches
+    only shards whose member rows changed.
+
+    Tagging is a zero-shuffle projection. To WRITE one file per shard:
+    df.repartition(n_shards, shard_col).write.partitionBy(shard_col)
+    — ONE hash exchange on the shard id, each task writes one shard
+    sequentially. At 100 TB pick n_shards so a shard is a few GB
+    (loader-seekable, executor-writable); the manifest below is how
+    the plan is checked before the write is launched.
+    """
+    return df.withColumn(shard_col, shard_key(key_cols, n_shards, salt))
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: list[str],
+    token_col: str,
+    bytes_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard manifest (doc/token/byte totals) computed WITHOUT
+    writing: one map-side-combined aggregation keyed by the shard id —
+    the balance check that decides n_shards before the expensive
+    write, and the loader-side index afterwards."""
+    return (
+        shard_corpus(df, n_shards, key_cols, salt=salt)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+            F.sum(F.octet_length(F.col(bytes_col)).cast("long")).alias("n_bytes"),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -181,6 +181,59 @@ def cmd_curate(args) -> None:
     print(json.dumps({"status": "curated", "kept": n}))
 
 
+def cmd_shard(args) -> None:
+    """Deterministic sharded corpus write (sampling.shard_corpus):
+    md5-derived shard ids, one hash exchange on the shard id, each
+    task writes one shard sequentially. Prints the per-shard manifest
+    so the balance is auditable without re-reading the output."""
+    from osas_spark.functions.sampling import shard_corpus
+
+    spark = get_spark(app_name="osas_shard", master=args.master)
+    df = _read(spark, args.input)
+    key_cols = [c for c in args.key_cols.split(",") if c]
+    tagged = shard_corpus(df, args.n_shards, key_cols, salt=args.salt)
+    tagged.repartition(args.n_shards, "shard").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(args.output)
+    # manifest from the written output: doc counts per shard id —
+    # the audit trail covers what was actually persisted
+    man = (
+        spark.read.parquet(args.output)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard").collect()
+    )  # bounded: n_shards rows
+    print(json.dumps({
+        "status": "sharded", "n_shards": args.n_shards,
+        "shards": {str(r["shard"]): r["n_docs"] for r in man},
+    }))
+
+
+def cmd_mix(args) -> None:
+    """Budgeted mixture sample (sampling.plan_and_mix): per-source
+    rates from target weights + a global token budget, applied as
+    deterministic Bernoulli/upsampling. Prints the plan it executed."""
+    from osas_spark.functions.sampling import plan_and_mix, plan_mixture
+
+    spark = get_spark(app_name="osas_mix", master=args.master)
+    df = _read(spark, args.input)
+    weights = {}
+    for part in args.weights.split(","):
+        name, _, w = part.partition("=")
+        if not _:
+            raise SystemExit(f"mix: bad --weights entry {part!r} (want name=w)")
+        weights[name] = float(w)
+    out = plan_and_mix(
+        df, args.source_col, weights, args.token_budget, args.token_col,
+        key_cols=[c for c in args.key_cols.split(",") if c],
+        salt=args.salt, max_rate=args.max_rate,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    plan = plan_mixture(df, args.source_col, weights, args.token_budget,
+                        args.token_col, max_rate=args.max_rate)
+    rows = [r.asDict() for r in plan.collect() if r["weight"] > 0]
+    print(json.dumps({"status": "mixed", "plan": rows}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="osas_spark.runner")
     p.add_argument("--master", default=None)
@@ -246,6 +299,32 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--rules", default=None,
                    help="YAML secrets rule pack (same format as audit)")
     c.set_defaults(fn=cmd_curate)
+
+    sh = sub.add_parser(
+        "shard", help="deterministic md5-sharded corpus write + manifest"
+    )
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--output", required=True)
+    sh.add_argument("--n-shards", dest="n_shards", type=int, required=True)
+    sh.add_argument("--key-cols", dest="key_cols", default="doc_id")
+    sh.add_argument("--salt", default="")
+    sh.set_defaults(fn=cmd_shard)
+
+    m = sub.add_parser(
+        "mix", help="weights+token-budget mixture sample (plan_and_mix)"
+    )
+    m.add_argument("--input", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--weights", required=True,
+                   help="comma list name=weight, e.g. web=0.6,books=0.4")
+    m.add_argument("--token-budget", dest="token_budget", type=int,
+                   required=True)
+    m.add_argument("--source-col", dest="source_col", default="source")
+    m.add_argument("--token-col", dest="token_col", default="n_chars")
+    m.add_argument("--key-cols", dest="key_cols", default="doc_id")
+    m.add_argument("--salt", default="")
+    m.add_argument("--max-rate", dest="max_rate", type=float, default=5.0)
+    m.set_defaults(fn=cmd_mix)
 
     args = p.parse_args(argv)
     # argparse puts --master on the namespace for all subcommands

@@ -221,3 +221,147 @@ def test_cap_per_group_salted_equals_plain(spark):
                   cap_per_group(df, ["grp"], order, k=7, keep_rank=True,
                                 salt_buckets=s).collect()}
         assert salted == plain, s
+
+
+def test_plan_mixture_rates_and_caps(spark):
+    """Rates are budget*weight/tokens clamped at max_rate; absent
+    configured sources surface as n_docs=0 rows; unweighted data
+    sources get rate 0 — hand-computed on a fixed two-source frame."""
+    from osas_spark.functions.sampling import plan_mixture
+
+    rows = [("web", 100), ("web", 300), ("books", 50), ("junk", 25)]
+    df = spark.createDataFrame(rows, ["src", "toks"])
+    plan = {r["source"]: r for r in plan_mixture(
+        df, "src", {"web": 0.5, "books": 0.5, "ghost": 0.0},
+        token_budget=1000, token_col="toks", max_rate=4.0,
+    ).collect()}
+    assert set(plan) == {"web", "books", "junk", "ghost"}
+    web = plan["web"]          # 1000*0.5/400 = 1.25
+    assert (web["n_docs"], web["n_tokens"]) == (2, 400)
+    assert web["rate"] == pytest.approx(1.25) and not web["capped"]
+    assert web["planned_tokens"] == 500
+    books = plan["books"]      # raw 1000*0.5/50 = 10 -> capped to 4
+    assert books["rate"] == pytest.approx(4.0) and books["capped"]
+    assert books["planned_tokens"] == 200
+    junk = plan["junk"]        # present in data, unweighted
+    assert junk["weight"] == 0.0 and junk["rate"] == 0.0 and not junk["capped"]
+    ghost = plan["ghost"]      # configured, absent from data
+    assert (ghost["n_docs"], ghost["n_tokens"], ghost["rate"]) == (0, 0, 0.0)
+    assert ghost["planned_tokens"] == 0
+
+
+def test_plan_mixture_normalizes_weights_and_validates(spark):
+    from osas_spark.functions.sampling import plan_mixture
+
+    df = spark.createDataFrame([("a", 100)], ["src", "toks"])
+    # weights 3:1 normalize to 0.75/0.25
+    plan = {r["source"]: r["weight"] for r in plan_mixture(
+        df, "src", {"a": 3.0, "b": 1.0}, 100, "toks").collect()}
+    assert plan["a"] == pytest.approx(0.75) and plan["b"] == pytest.approx(0.25)
+    with pytest.raises(ValueError, match="token_budget"):
+        plan_mixture(df, "src", {"a": 1.0}, 0, "toks")
+    with pytest.raises(ValueError, match="non-empty"):
+        plan_mixture(df, "src", {}, 100, "toks")
+    with pytest.raises(ValueError, match="non-negative"):
+        plan_mixture(df, "src", {"a": -1.0}, 100, "toks")
+    with pytest.raises(ValueError, match="max_rate"):
+        plan_mixture(df, "src", {"a": 1.0}, 100, "toks", max_rate=0)
+
+
+def test_plan_and_mix_hits_budget_and_rejects_dead_sources(spark):
+    """End-to-end: planned rates drive mix_corpora and the realized
+    token total lands within the hash-quantized tolerance of the
+    budget; a weighted source with zero tokens raises."""
+    from osas_spark.functions.sampling import plan_and_mix
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "books").otherwise("web").alias("src"),
+        (F.col("id") % 50 + 50).alias("toks"),
+    )
+    total = df.agg(F.sum("toks")).collect()[0][0]
+    budget = int(total * 0.6)
+    out = plan_and_mix(df, "src", {"web": 0.7, "books": 0.3}, budget,
+                       "toks", key_cols=["doc_id"], salt="t")
+    got = out.agg(F.sum("toks")).collect()[0][0]
+    assert abs(got - budget) / budget < 0.15  # Bernoulli quantization
+    # determinism: same call, same rows
+    again = plan_and_mix(df, "src", {"web": 0.7, "books": 0.3}, budget,
+                         "toks", key_cols=["doc_id"], salt="t")
+    key = lambda d: sorted((r["doc_id"], r["copy_idx"]) for r in d.collect())
+    assert key(out) == key(again)
+    with pytest.raises(ValueError, match="no tokens"):
+        plan_and_mix(df, "src", {"web": 1.0, "nope": 1.0}, budget,
+                     "toks", key_cols=["doc_id"])
+
+
+def test_shard_corpus_matches_python_md5_and_partitioning_invariant(spark):
+    from osas_spark.functions.sampling import shard_corpus
+
+    df = _docs(spark, 500)
+    got = {r["doc_id"]: r["shard"] for r in
+           shard_corpus(df, 16, ["doc_id"], salt="r5").collect()}
+    for i in (0, 1, 7, 499):
+        expected = int(_py_key8("r5", i), 16) % 16
+        assert got[i] == expected
+    assert set(got.values()) <= set(range(16))
+    re_got = {r["doc_id"]: r["shard"] for r in
+              shard_corpus(df.repartition(13, "lang"), 16, ["doc_id"],
+                           salt="r5").collect()}
+    assert re_got == got
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_corpus(df, 0, ["doc_id"])
+
+
+def test_shard_manifest_totals_and_balance(spark):
+    """Manifest totals must equal corpus totals exactly (no row lost
+    to the mod arithmetic) and md5 uniformity keeps shards balanced."""
+    from osas_spark.functions.sampling import shard_manifest
+
+    df = _docs(spark, 2000).withColumn("toks", F.col("doc_id") % 97 + 1)
+    man = shard_manifest(df, 8, ["doc_id"], token_col="toks",
+                         bytes_col="text", salt="r5").collect()
+    assert len(man) == 8
+    assert sum(r["n_docs"] for r in man) == 2000
+    assert sum(r["n_tokens"] for r in man) == \
+        df.agg(F.sum("toks")).collect()[0][0]
+    assert sum(r["n_bytes"] for r in man) == \
+        df.agg(F.sum(F.octet_length("text"))).collect()[0][0]
+    sizes = [r["n_docs"] for r in man]
+    assert max(sizes) < 2 * min(sizes)  # md5 uniformity at n=2000
+
+
+def test_runner_shard_and_mix(spark, tmp_path, capsys):
+    """The sharding writer and budgeted mixture are reachable from the
+    CLI; the shard write round-trips with the manifest it printed."""
+    import json
+
+    from osas_spark.runner import main
+
+    docs = str(tmp_path / "docs")
+    _docs(spark, 300).withColumn("source",
+        F.when(F.col("doc_id") % 3 == 0, "books").otherwise("web")
+    ).withColumn("n_chars", F.length("text")).write.parquet(docs)
+
+    out = str(tmp_path / "sharded")
+    main(["shard", "--input", docs, "--output", out,
+          "--n-shards", "4", "--salt", "cli"])
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["status"] == "sharded" and len(s["shards"]) == 4
+    assert sum(s["shards"].values()) == 300
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    assert back.select("shard").distinct().count() == 4
+
+    mixed = str(tmp_path / "mixed")
+    main(["mix", "--input", docs, "--output", mixed,
+          "--weights", "web=0.8,books=0.2", "--token-budget", "1200",
+          "--token-col", "n_chars", "--salt", "cli"])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["status"] == "mixed" and len(m["plan"]) == 2
+    got = spark.read.parquet(mixed)
+    assert got.count() > 0 and "mix_source" in got.columns
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="bad --weights"):
+        main(["mix", "--input", docs, "--output", mixed,
+              "--weights", "web", "--token-budget", "10"])
