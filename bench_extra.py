@@ -1,0 +1,107 @@
+"""Extra benchmarks for the optimization rounds (guide §1.4): isolate
+individual headline queries with the same materializer bench.py uses,
+dump .explain("formatted") plans, and time ad-hoc experiment snippets.
+
+bench.py itself is FROZEN for measurement; numbers cited in
+OPTIMIZATION_r06.md from this file are isolation/diagnosis evidence,
+not the round's official metric.
+
+Usage:
+  python bench_extra.py time  [--big] [--reps N] q1 q2 ...
+  python bench_extra.py plans [--big] [--out DIR] q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".bench", "big_k10")
+
+
+def _session():
+    from osas_spark.session import get_spark
+
+    return get_spark(
+        app_name="osas_spark_bench_extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(int(CPUS), 4),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
+
+
+def _materialize(df) -> int:
+    import pyspark.sql.functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+    ).collect()[0]
+    return row["n"]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return
+    cmd, args = args[0], args[1:]
+    big = "--big" in args
+    reps = 1
+    out_dir = "plans/r06"
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    if "--out" in args:
+        i = args.index("--out")
+        out_dir = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    names = [a for a in args if not a.startswith("--")]
+
+    import __spark_entry__ as se
+
+    spark = _session()
+    sf = BIG_DIR if big else SF_DIR
+    if big:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    spark.read.parquet(f"{sf}/lineitem.parquet").count()  # warm
+    qs = se.queries()
+
+    if cmd == "time":
+        for name in names:
+            for r in range(reps):
+                spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+                t0 = time.perf_counter()
+                n = _materialize(qs[name](spark, sf))
+                dt = time.perf_counter() - t0
+                print(f"{name}\trep{r}\t{dt:.3f}s\t{n} rows", flush=True)
+    elif cmd == "plans":
+        os.makedirs(out_dir, exist_ok=True)
+        suffix = sys.argv[0] and ""
+        for name in names:
+            df = qs[name](spark, sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            tag = "_big" if big else ""
+            path = os.path.join(out_dir, f"{name}{tag}.txt")
+            with open(path, "w") as fh:
+                fh.write(plan)
+            print(f"wrote {path}")
+    else:
+        print(__doc__)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,17 +44,31 @@ def _tokens(col: F.Column, mode: str) -> F.Column:
     return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
 
 
-def _ngrams(tokens: F.Column, order: int) -> F.Column:
-    """All n-grams of one order over <s>/</s>-padded, vocab-mapped
-    tokens; JVM-side sequence+transform+slice."""
-    padded = F.concat(
+def _padded(tokens: F.Column, order: int) -> F.Column:
+    """<s>/</s>-padded token array for one n-gram order."""
+    return F.concat(
         F.array(*[F.lit("<s>")] * (order - 1)) if order > 1 else F.array().cast("array<string>"),
         tokens,
         F.array(F.lit("</s>")),
     )
+
+
+def _ngrams_from_padded(padded: F.Column, order: int) -> F.Column:
+    """All n-grams of one order over an already-MATERIALIZED padded
+    token COLUMN; JVM-side sequence+transform+slice. The padded array
+    must be a real column, not an expression: Spark does no
+    subexpression elimination inside higher-order-function lambdas, so
+    slicing a concat(...) expression rebuilds the padded array once per
+    gram — O(tokens x grams) per row."""
     n = F.greatest(F.size(padded) - order + 1, F.lit(1))
     idx = F.sequence(F.lit(1), n)
     return F.transform(idx, lambda i: F.concat_ws("", F.slice(padded, i, order)))
+
+
+def _ngrams(tokens: F.Column, order: int) -> F.Column:
+    """Single-expression n-gram form (kept for API compatibility; hot
+    paths materialize the padded array first — see _ngrams_from_padded)."""
+    return _ngrams_from_padded(_padded(tokens, order), order)
 
 
 class TextCheck(Check):
@@ -89,6 +103,8 @@ class TextCheck(Check):
         self._px_stats: tuple[float, float] | None = None
         self._bcast_vocab: bool | None = None  # memoized size-gate verdicts
         self._bcast_model: bool | None = None
+        self._train_px: DataFrame | None = None  # fit-frame scores (persisted)
+        self._fit_df: DataFrame | None = None    # identity key for reuse
 
     # ------------------------------------------------------------ internals
     def _vocab_mapped(self, df: DataFrame) -> DataFrame:
@@ -103,6 +119,9 @@ class TextCheck(Check):
         Fallback (huge vocab): posexplode + size-gated join + ordered
         collect_list round trip — two shuffles, but the vocabulary
         stays distributed."""
+        from osas_spark.sources import fan_out
+
+        df = fan_out(df)
         toks = _tokens(F.col(self.field).cast("string"), self.mode)
         if self._vocab_list is not None:
             if not self._vocab_list:
@@ -143,14 +162,20 @@ class TextCheck(Check):
         )
 
     def _all_ngrams(self, with_toks: DataFrame) -> DataFrame:
-        """(id..., order, ngram) exploded across configured orders."""
+        """(id..., order, ngram) exploded across configured orders.
+        The padded array is bound to a column per order before the
+        gram transform (see _ngrams_from_padded)."""
         parts = []
         for order in range(self.lo, self.hi + 1):
             parts.append(
-                with_toks.select(
+                with_toks.withColumn(
+                    "__padded", _padded(F.col("toks"), order)
+                ).select(
                     *self.id_cols,
                     F.lit(order).alias("order"),
-                    F.explode(_ngrams(F.col("toks"), order)).alias("ngram"),
+                    F.explode(
+                        _ngrams_from_padded(F.col("__padded"), order)
+                    ).alias("ngram"),
                 )
             )
         out = parts[0]
@@ -178,14 +203,18 @@ class TextCheck(Check):
 
     # ------------------------------------------------------------------ fit
     def fit(self, df: DataFrame) -> "TextCheck":
+        from osas_spark.sources import fan_out
+
         # a re-fit must not strand the previous run's persisted tables
-        for old in (self._vocab, self._model):
+        for old in (self._vocab, self._model, self._train_px):
             if old is not None:
                 old.unpersist()
         self._bcast_vocab = None  # model changes — re-probe on next use
         self._bcast_model = None
+        self._train_px = None
+        self._fit_df = None
         toks = _tokens(F.col(self.field).cast("string"), self.mode)
-        unigrams = df.select(F.explode(toks).alias("tok"))
+        unigrams = fan_out(df).select(F.explode(toks).alias("tok"))
         self._vocab = (
             unigrams.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -205,20 +234,40 @@ class TextCheck(Check):
             counts = grams.groupBy("order", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
             totals = counts.groupBy("order").agg(F.sum("cnt").alias("total"))
             self._model = counts.join(F.broadcast(totals), on="order")
-            px = self._perplexity(df)
+            # the training frame's per-row perplexities are persisted —
+            # not just reduced to (mean, std) — so an apply() on the
+            # SAME frame (the standard fit-then-label flow) reuses them
+            # instead of re-running tokenize+map+explode+model-join
+            # (guide §1.2: don't compute things you throw away)
+            px = self._perplexity(df).persist(StorageLevel.MEMORY_AND_DISK)
             row = px.agg(
                 F.avg("perplexity").alias("m"), F.stddev_pop("perplexity").alias("s")
             ).collect()[0]
+            self._train_px = px
+            self._fit_df = df
         finally:
             grams.unpersist()
         std = row["s"] if row["s"] and row["s"] > 0 else 0.01
         self._px_stats = (float(row["m"]), float(std))
         return self
 
+    def unpersist(self) -> None:
+        """Release every cache this check holds (fitted model tables
+        and the training-frame perplexity scores)."""
+        for h in (self._vocab, self._model, self._train_px):
+            if h is not None:
+                h.unpersist()
+        self._train_px = None
+        self._fit_df = None
+
     # ---------------------------------------------------------------- apply
     def apply(self, df: DataFrame) -> DataFrame:
         mean, std = self._px_stats
-        px = self._perplexity(df).withColumnRenamed("perplexity", "__px")
+        if self._train_px is not None and df is self._fit_df:
+            px = self._train_px
+        else:
+            px = self._perplexity(df)
+        px = px.withColumnRenamed("perplexity", "__px")
         joined = df.join(px, on=self.id_cols, how="left")
         fname = self.field.upper()
         ratio = F.abs(F.col("__px") - F.lit(mean)) / F.lit(std)

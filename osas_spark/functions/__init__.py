@@ -5,6 +5,7 @@ from osas_spark.functions.textfns import (  # noqa: F401
 from osas_spark.functions.dedup import (  # noqa: F401
     exact_duplicates, minhash_signatures, lsh_buckets, minhash_near_duplicates,
     simhash64, ngram_jaccard_pairs, embedding_near_duplicates, word_grams,
+    word_gram_tokens, word_grams_from_tokens,
 )
 from osas_spark.functions.similarity import (  # noqa: F401
     cosine_topk_bruteforce, cosine_topk_lsh, cosine_topk_ivf,

@@ -38,8 +38,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osas_spark.functions.dedup import word_grams
+from osas_spark.functions.dedup import word_gram_tokens, word_grams_from_tokens
 from osas_spark.joins import broadcast_if_small
+from osas_spark.sources import fan_out
+
+
+def _gram_stream(df: DataFrame, id_col: str, text_col: str, n: int,
+                 out_id: str) -> DataFrame:
+    """(out_id, gram) exploded distinct word n-grams — tokens bound to
+    a real column first (no subexpression elimination inside
+    higher-order lambdas: slicing the split() EXPRESSION re-tokenizes
+    per gram), and the scan fanned out so a narrow input does not
+    serialize the shingle stage."""
+    base = fan_out(df.select(id_col, text_col)).withColumn(
+        "__toks", word_gram_tokens(text_col)
+    )
+    return base.select(
+        F.col(id_col).alias(out_id),
+        F.explode(word_grams_from_tokens(F.col("__toks"), n)).alias("gram"),
+    )
 
 
 def decontaminate(
@@ -74,10 +91,7 @@ def decontaminate(
 
     # (eval_id, gram), boilerplate grams dropped — persisted because it
     # feeds both the size aggregate and the corpus join
-    e_all = eval_df.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.explode(word_grams(eval_text_col, n)).alias("gram"),
-    )
+    e_all = _gram_stream(eval_df, eval_id_col, eval_text_col, n, "eval_id")
     df_per_gram = e_all.groupBy("gram").agg(
         F.count(F.lit(1)).alias("edf")
     )
@@ -92,10 +106,7 @@ def decontaminate(
         metrics.setdefault("persisted", []).append(kept)
     e_sz = kept.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_sz"))
 
-    c = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_grams(text_col, n)).alias("gram"),
-    )
+    c = _gram_stream(corpus, id_col, text_col, n, "doc_id")
     eb, _ = broadcast_if_small(kept, persist=False)
     shared = c.join(eb, on="gram").groupBy("doc_id", "eval_id").agg(
         F.count(F.lit(1)).alias("shared")

@@ -166,11 +166,16 @@ def minhash_near_duplicates(
     """
     from pyspark import StorageLevel
 
+    from osas_spark.sources import fan_out
+
     # the signature transform (n_hashes x shingles hash rounds per doc)
     # is by far the heaviest expression here, and the plan references it
     # from FOUR branches (bucket sizes, bounded buckets, and both sides
-    # of the signature re-attach) — persist so it computes once
-    sigs = minhash_signatures(df.select(id_col, text_col), text_col, n_hashes, shingle_k)
+    # of the signature re-attach) — persist so it computes once; fan_out
+    # first so a narrow scan does not serialize the hash rounds
+    sigs = minhash_signatures(
+        fan_out(df.select(id_col, text_col)), text_col, n_hashes, shingle_k
+    )
     sigs = sigs.select(id_col, "minhash").persist(StorageLevel.MEMORY_AND_DISK)
     bucketed = lsh_buckets(sigs, bands=bands, n_hashes=n_hashes).select(
         id_col, "band", "bucket"
@@ -240,9 +245,11 @@ def minhash_join(
     """
     from pyspark import StorageLevel
 
+    from osas_spark.sources import fan_out
+
     def _prep(df: DataFrame):
         sigs = minhash_signatures(
-            df.select(id_col, text_col), text_col, n_hashes, shingle_k
+            fan_out(df.select(id_col, text_col)), text_col, n_hashes, shingle_k
         ).select(id_col, "minhash").persist(StorageLevel.MEMORY_AND_DISK)
         b = lsh_buckets(sigs, bands=bands, n_hashes=n_hashes).select(
             id_col, "band", "bucket"
@@ -386,9 +393,11 @@ def simhash_near_duplicates(
     within distance 3 shares at least one of 4 chunks exactly)."""
     from pyspark import StorageLevel
 
+    from osas_spark.sources import fan_out
+
     # the 64-slot bit-majority aggregate is the heavy expression and the
     # plan reads it from both sides of the chunk self-join — persist
-    hashed = simhash64(df.select(id_col, text_col), text_col).select(
+    hashed = simhash64(fan_out(df.select(id_col, text_col)), text_col).select(
         id_col, "simhash"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(*[
@@ -418,17 +427,39 @@ def simhash_near_duplicates(
 
 # ----------------------------------------------------- n-gram Jaccard
 
+def word_gram_tokens(text_col: str) -> F.Column:
+    """The shared tokenization of the word-gram convention: lowercase,
+    Spark trim (0x20 only), split on \\s+."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_grams_from_tokens(toks: F.Column, n: int) -> F.Column:
+    """word_grams over an already-MATERIALIZED token-array column.
+
+    Callers on a hot path must bind the token array to a real column
+    (withColumn) first: Spark does no subexpression elimination inside
+    higher-order-function lambdas, so referencing the split(...)
+    EXPRESSION from the transform lambda re-tokenizes the document once
+    per gram — O(tokens x grams) per row instead of O(tokens). Measured
+    2.8x on the 10x-tier shingle explode (optimization guide §2.3
+    "project before" applied to lambda capture)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
 def word_grams(text_col: str, n: int) -> F.Column:
     """array<string> of the DISTINCT word n-grams of a text column:
     whitespace-tokenized lowercase, n consecutive tokens joined by a
     single space. Pure column expression (codegen, no UDF) shared by
     exact n-gram Jaccard and eval-set decontamination; the DuckDB
-    oracles replay it with regexp_split_to_array + list comprehension."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    oracles replay it with regexp_split_to_array + list comprehension.
+
+    NOTE: for per-row cost reasons prefer the two-step form
+    (withColumn token materialization + word_grams_from_tokens) on
+    large inputs — see word_grams_from_tokens."""
+    return word_grams_from_tokens(word_gram_tokens(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -438,6 +469,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 1000,
+    pair_rows_per_task: int = 500_000,
     metrics: dict | None = None,
 ) -> DataFrame:
     """EXACT Jaccard over word n-gram sets via an inverted-index join.
@@ -449,50 +481,90 @@ def ngram_jaccard_pairs(
     The cutoff is NOT silent: pass `metrics={}` and
     ``metrics["dropped_grams"]`` is populated with a lazy DataFrame of
     (gram, df) for every dropped shingle.
-    """
-    grams = word_grams(text_col, n)
-    from pyspark import StorageLevel
 
-    # the exploded gram stream feeds two different shuffles (per-doc
-    # sizes, per-gram postings) — persist so tokenize+shingle runs once
-    shingled = df.select(
-        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    Plan shape (round 6): ONE tokenize+shingle pass, TWO exchanges.
+    Each doc's gram-set size rides the posting lists as a struct field
+    — (doc, sz) pairs — so the pair stream carries its own Jaccard
+    denominators and the two per-side size joins (which re-scanned the
+    exploded gram stream and forced it into a persisted cache read 3x)
+    are gone, along with the cache itself. The pair shuffle widens by
+    two longs but loses two broadcast builds and two aggregate scans.
+    """
+    from osas_spark.sources import fan_out
+
+    base = fan_out(df.select(id_col, text_col)).withColumn(
+        "__toks", word_gram_tokens(text_col)
+    )
+    with_g = base.select(
+        F.col(id_col).alias("doc"),
+        word_grams_from_tokens(F.col("__toks"), n).alias("__grams"),
+    ).select(
+        "doc", F.size("__grams").alias("sz"), F.explode("__grams").alias("gram")
+    )
 
     # posting-list pair generation: ONE shuffle on gram builds the
     # sorted posting list (capped at max_doc_freq, dropping boilerplate
     # shingles) — versus a self-join this saves a second full shuffle of
     # the postings and lets the df-cutoff apply before any pair exists
-    all_postings = shingled.groupBy("gram").agg(
-        F.sort_array(F.collect_list("doc")).alias("docs")
+    all_postings = with_g.groupBy("gram").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "sz"))).alias("docs")
     )
     if metrics is not None:
         metrics["dropped_grams"] = all_postings.where(
             F.size("docs") > max_doc_freq
         ).select("gram", F.size("docs").alias("df"))
+    from pyspark import StorageLevel
+
     postings = all_postings.where(
         (F.size("docs") <= max_doc_freq) & (F.size("docs") >= 2)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if metrics is not None:
+        metrics.setdefault("persisted", []).append(postings)
+    # size the pair exchange from the DATA, not the session conf: the
+    # pair stream is sum over grams of C(df, 2) rows — up to max_doc_freq/2
+    # times larger than the gram stream the session's shuffle width was
+    # sized for. The posting table is tiny (one row per kept gram), so
+    # an exact pair count is one cheap aggregate over the cache; with
+    # the session's fixed width the pair aggregation built per-task
+    # hash tables of several hundred MB that spilled through the
+    # external sorter (measured: 27s -> 15.5s on the 10x tier at
+    # ~500k pair rows per task).
+    sz_c = F.size("docs").cast("long")
+    n_pairs = postings.agg(
+        F.sum(sz_c * (sz_c - F.lit(1)) / F.lit(2)).alias("p")
+    ).collect()[0]["p"] or 0
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    pair_parts = max(sp, min(int(n_pairs // pair_rows_per_task) + 1, 65_536))
     # two-level pair explode: first explode the anchor (i), THEN explode
     # its tail slice — no single row ever materializes C(df, 2) structs
     # (a gram at the df cap would otherwise build ~500k structs in one
     # row: a skewed straggler task at scale); per-row width is bounded
-    # by max_doc_freq ids instead
+    # by max_doc_freq entries instead
     anchored = postings.select(
-        "docs", F.posexplode("docs").alias("i", "id_a")
+        "docs", F.posexplode("docs").alias("i", "a")
     )
     pair_stream = anchored.select(
-        "id_a",
-        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("id_b"),
+        F.col("a.doc").alias("id_a"),
+        F.col("a.sz").alias("sz_a"),
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
+    ).select(
+        "id_a", "sz_a", F.col("b.doc").alias("id_b"), F.col("b.sz").alias("sz_b")
     )
+    if pair_parts > sp:
+        # explicit keyed repartition: the groupBy below reuses this
+        # exchange (same keys), so the aggregation runs on pair_parts
+        # bounded-size tasks instead of sp spilling ones
+        pair_stream = pair_stream.repartition(pair_parts, "id_a", "id_b")
+    # sz_a/sz_b are functions of id_a/id_b (min of a constant — kept as
+    # aggregates so the group keys stay two longs), so no size join is
+    # needed afterwards
     shared = pair_stream.groupBy("id_a", "id_b").agg(
-        F.count(F.lit(1)).alias("shared")
+        F.count(F.lit(1)).alias("shared"),
+        F.min("sz_a").alias("sz_a"),
+        F.min("sz_b").alias("sz_b"),
     )
     out = (
-        shared.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"}), on="id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
         )
@@ -664,9 +736,12 @@ def embedding_near_duplicates(
     """
     from pyspark import StorageLevel
 
+    from osas_spark.sources import fan_out
+
     # bucket bits cost n_planes dot products per row and feed several
     # plan branches (native sizes, pair entries, vector re-attach) —
     # persist once; the multiprobe explode is a cheap XOR view on top
+    df = fan_out(df)
     base = df.select(
         F.col(id_col), F.col(vec_col),
         # Arrow kernel, single table — element 1 of the one-offset

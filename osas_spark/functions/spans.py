@@ -46,13 +46,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _span_occurrences(text_col: str, k: int) -> F.Column:
-    """array<string> of ALL word k-gram occurrences (with
-    multiplicity — the occurrence-level dual of word_grams'
-    distinct set)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _spans_from_tokens(toks: F.Column, k: int) -> F.Column:
+    """array<string> of ALL word k-gram occurrences (with multiplicity
+    — the occurrence-level dual of word_grams' distinct set) over an
+    already-materialized token-array COLUMN. Binding the tokens to a
+    column first matters: Spark does no subexpression elimination
+    inside higher-order-function lambdas, so slicing a split(...)
+    EXPRESSION re-tokenizes the document once per span — O(tokens x
+    spans) per row (measured ~3x on the shingle explode)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def _span_occurrences(text_col: str, k: int) -> F.Column:
+    """Single-expression form of _spans_from_tokens (re-tokenizes per
+    span — kept for API compatibility; hot paths use the two-step)."""
+    return _spans_from_tokens(_tokens(text_col), k)
 
 
 def duplicated_span_stats(
@@ -73,21 +86,43 @@ def duplicated_span_stats(
         raise ValueError(
             f"duplicated_span_stats: min_count must be >= 2, got {min_count}"
         )
-    span = F.explode(_span_occurrences(text_col, k)).alias("__span")
-    occ = df.select(F.col(id_col), span)
+    from osas_spark.joins import broadcast_if_small
+    from osas_spark.sources import fan_out
+
+    # round-6 plan shape: tokenize ONCE into a real column (see
+    # _spans_from_tokens), then
+    #   1. groupBy span -> corpus totals (the only span-wide shuffle;
+    #      map-side partial aggregation collapses per-partition repeats)
+    #   2. size-gated broadcast of the duplicated-span KEY SET back onto
+    #      the occurrence stream — when it fits, the occurrence stream
+    #      never shuffles at all (it stays in its scan partitions), and
+    #      a doc's occurrences are partition-local, so
+    #   3. the per-doc rollup's map-side combine emits ~one row per doc
+    #      before its exchange.
+    # The former (span, doc) pre-aggregation exchange — the widest
+    # shuffle of the old plan — is gone; above the broadcast gate the
+    # join degrades to the old shuffle join shape.
+    base = fan_out(df.select(id_col, text_col)).withColumn(
+        "__toks", _tokens(text_col)
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.explode(_spans_from_tokens(F.col("__toks"), k)).alias("__span"),
+    )
     if hash_spans:
         occ = occ.withColumn("__span", F.xxhash64("__span"))
-    per_doc = occ.groupBy("__span", id_col).agg(
-        F.count(F.lit(1)).alias("__m")
+    totals = occ.groupBy("__span").agg(F.count(F.lit(1)).alias("__tot"))
+    dup_keys = totals.where(F.col("__tot") >= min_count).select("__span")
+    dup_b, _ = broadcast_if_small(dup_keys)
+    flagged = occ.join(
+        dup_b.withColumn("__dup", F.lit(1)), on="__span", how="left"
     )
-    totals = per_doc.groupBy("__span").agg(F.sum("__m").alias("__tot"))
-    flagged = per_doc.join(totals, on="__span")
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.sum("__m").alias("n_spans"),
-            F.sum(F.when(F.col("__tot") >= min_count, F.col("__m"))
-                  .otherwise(F.lit(0))).alias("n_dup_spans"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__dup").isNotNull(), F.lit(1))
+                  .otherwise(F.lit(0)).cast("long")).alias("n_dup_spans"),
         )
         .withColumn(
             "dup_fraction",
@@ -157,10 +192,24 @@ def scrub_duplicated_spans(
         raise ValueError(
             f"scrub_duplicated_spans: min_count must be >= 2, got {min_count}"
         )
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    occ = df.select(
+    from osas_spark.joins import broadcast_if_small
+    from osas_spark.sources import fan_out
+
+    # round-6 plan shape (same output): tokens materialized ONCE per
+    # stage (the old plan re-split the text inside every higher-order
+    # lambda — per span on the explode side, per kept token on the
+    # rebuild side); the duplicated-span key set and the per-doc start
+    # lists are size-gated broadcasts, so neither the occurrence stream
+    # nor the document table shuffles when they fit (above the gate the
+    # joins degrade to the old shuffle shape).
+    occ_base = fan_out(df.select(id_col, text_col)).withColumn(
+        "__toks", _tokens(text_col)
+    )
+    occ = occ_base.select(
         F.col(id_col),
-        F.posexplode(_span_occurrences(text_col, k)).alias("__start", "__span"),
+        F.posexplode(_spans_from_tokens(F.col("__toks"), k)).alias(
+            "__start", "__span"
+        ),
     )
     if hash_spans:
         occ = occ.withColumn("__span", F.xxhash64("__span"))
@@ -175,7 +224,8 @@ def scrub_duplicated_spans(
         .where(F.col("__tot") >= min_count)
         .drop("__tot")
     )
-    hits = occ.join(dup_spans_keys, on="__span")
+    dup_b, _ = broadcast_if_small(dup_spans_keys)
+    hits = occ.join(dup_b, on="__span")
     if keep_first:
         hits = hits.where(
             ~((F.col(id_col) == F.col("__keep.i"))
@@ -185,9 +235,16 @@ def scrub_duplicated_spans(
         hits.groupBy(id_col)
         .agg(F.collect_list("__start").alias("__starts"))
     )
-    with_starts = df.join(starts, on=id_col, how="left").withColumn(
-        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    starts_b, _ = broadcast_if_small(starts)
+    with_starts = (
+        df.join(starts_b, on=id_col, how="left")
+        .withColumn(
+            "__starts",
+            F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+        )
+        .withColumn("__toks", _tokens(text_col))
     )
+    toks = F.col("__toks")
     n = F.size(toks)
     covered = F.flatten(
         F.transform(
@@ -195,15 +252,17 @@ def scrub_duplicated_spans(
             lambda s: F.sequence(s, F.least(s + k - 1, n - 1)),
         )
     )
-    kept = F.array_except(F.sequence(F.lit(0), n - 1), covered)
+    with_starts = with_starts.withColumn("__covered", covered)
+    kept = F.array_except(F.sequence(F.lit(0), n - 1), F.col("__covered"))
+    with_starts = with_starts.withColumn("__kept", kept)
     rebuilt = F.array_join(
-        F.transform(kept, lambda p: F.element_at(toks, p + 1)), " "
+        F.transform(F.col("__kept"), lambda p: F.element_at(toks, p + 1)), " "
     )
     out_cols = [c for c in df.columns if c != text_col]
     return with_starts.select(
         *out_cols,
         rebuilt.alias(out_col),
-        F.size(kept).cast("long").alias("n_kept_tokens"),
+        F.size(F.col("__kept")).cast("long").alias("n_kept_tokens"),
     )
 
 
