@@ -119,21 +119,29 @@ LEFT JOIN (
 # =====================================================================
 
 def _profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass per-column profile in long form. (Exact distinct here
-    for oracle parity; the engine's profile() uses HLL sketches.)"""
+    """Per-column profile in long form. (Exact distinct here for oracle
+    parity; the engine's profile() uses HLL sketches.)
+
+    Plan shape (round 6): THREE countDistinct in one agg made Catalyst
+    plan an Expand (4 copies of every row) feeding a distinct-combo
+    exchange plus three stacked aggregate layers; splitting into one
+    distinct-free aggregate cross-joined with three single-distinct
+    aggregates (independent stages — the scheduler runs them
+    concurrently) computes identical values with no Expand."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__dist"),
             F.round(F.avg(c), 4).alias(f"{c}__mean"),
             F.round(F.stddev_pop(c), 4).alias(f"{c}__std"),
             F.round(F.min(c), 4).alias(f"{c}__min"),
             F.round(F.max(c), 4).alias(f"{c}__max"),
         ]
-    one = _t(spark, sf_dir, "lineitem").agg(*aggs)
+    one = li.agg(*aggs)
+    for c in cols:
+        one = one.crossJoin(li.agg(F.countDistinct(c).alias(f"{c}__dist")))
     stack = ", ".join(
         f"'{c}', `{c}__nulls`, `{c}__dist`, `{c}__mean`, `{c}__std`, "
         f"`{c}__min`, `{c}__max`"

@@ -173,7 +173,13 @@ class TextCheck(Check):
                 ).select(
                     *self.id_cols,
                     F.lit(order).alias("order"),
-                    F.explode(
+                    # explode_outer: _ngrams_from_padded always yields
+                    # >= 1 element (idx starts at [1] even for NULL
+                    # tokens), so outer is identical — and it suppresses
+                    # InferFiltersFromGenerate's pushed-down size()>0
+                    # filter, which re-evaluated the whole gram
+                    # expression at the scan
+                    F.explode_outer(
                         _ngrams_from_padded(F.col("__padded"), order)
                     ).alias("ngram"),
                 )

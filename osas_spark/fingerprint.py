@@ -30,7 +30,11 @@ def sha256_udf(s: pd.Series) -> pd.Series:
 def with_fingerprint(
     df: DataFrame, content_col: str = "content", out_col: str = "content_sha256"
 ) -> DataFrame:
-    return df.withColumn(out_col, sha256_udf(F.col(content_col)))
+    # per-row Python hashing serializes badly on a narrow scan — fan the
+    # input out to the task slots first (no-op on wide scans)
+    from osas_spark.sources import fan_out
+
+    return fan_out(df).withColumn(out_col, sha256_udf(F.col(content_col)))
 
 
 def fingerprint_mismatches(df: DataFrame, content_col: str = "content") -> DataFrame:

@@ -266,6 +266,19 @@ def incremental_dedup(
     if n is None:
         n = _plan_row_count(src)
     if n is None:
+        # sizing-only (the docstring contract: an inaccurate n_items
+        # moves the fpp, never the verdict): Catalyst's bytes-based
+        # estimate replaces a full history count job — but ONLY while
+        # the implied filter sits far below the clamp, where an over-
+        # estimate just buys a roomier filter. Near the clamp a bad
+        # estimate could mis-trip the skip_fpp_threshold, so the exact
+        # count is paid there.
+        from osas_spark.joins import estimate_row_count
+
+        est = estimate_row_count(src)
+        if est and est * 10 < max_filter_bytes * 8:
+            n = est
+    if n is None:
         n = src.count()
     _m, _k, eff_fpp = bloom_params(n, fpp, max_bytes=max_filter_bytes)
     if metrics is not None:
@@ -329,13 +342,20 @@ def incremental_dedup(
     )
     if metrics is not None:
         metrics["candidates"] = candidates
-    cand_hinted, _ = broadcast_if_small(candidates)
+    cand_hinted, cand_small = broadcast_if_small(candidates)
     confirmed = (
         hist.join(cand_hinted, on="digest", how="leftsemi")
         .distinct()
         .withColumn("in_history", F.lit(True))
     )
-    conf_hinted, _ = broadcast_if_small(confirmed)
+    # confirmed is a SUBSET of candidates (history semi-join against
+    # them), so a broadcast-worthy candidate set proves confirmed fits
+    # too — the second probe job (which executed the whole verify pass
+    # just to count it) is redundant in that case
+    if cand_small:
+        conf_hinted = F.broadcast(confirmed)
+    else:
+        conf_hinted, _ = broadcast_if_small(confirmed)
     out = (
         flagged.join(conf_hinted, on="digest", how="left")
         .withColumn(

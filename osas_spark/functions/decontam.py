@@ -55,7 +55,9 @@ def _gram_stream(df: DataFrame, id_col: str, text_col: str, n: int,
     )
     return base.select(
         F.col(id_col).alias(out_id),
-        F.explode(word_grams_from_tokens(F.col("__toks"), n)).alias("gram"),
+        # explode_outer: gram array never null/empty; suppresses the
+        # InferFiltersFromGenerate re-evaluation (see dedup.py)
+        F.explode_outer(word_grams_from_tokens(F.col("__toks"), n)).alias("gram"),
     )
 
 

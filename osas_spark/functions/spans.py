@@ -107,7 +107,11 @@ def duplicated_span_stats(
     )
     occ = base.select(
         F.col(id_col),
-        F.explode(_spans_from_tokens(F.col("__toks"), k)).alias("__span"),
+        # explode_outer: the span array always has >= 1 element, so
+        # outer is identical — and it suppresses the
+        # InferFiltersFromGenerate size()>0 filter that re-evaluated
+        # the whole span expression at the scan
+        F.explode_outer(_spans_from_tokens(F.col("__toks"), k)).alias("__span"),
     )
     if hash_spans:
         occ = occ.withColumn("__span", F.xxhash64("__span"))
@@ -207,7 +211,9 @@ def scrub_duplicated_spans(
     )
     occ = occ_base.select(
         F.col(id_col),
-        F.posexplode(_spans_from_tokens(F.col("__toks"), k)).alias(
+        # posexplode_outer: same InferFiltersFromGenerate suppression
+        # as the stats path; the span array is never null/empty
+        F.posexplode_outer(_spans_from_tokens(F.col("__toks"), k)).alias(
             "__start", "__span"
         ),
     )
