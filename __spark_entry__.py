@@ -1276,10 +1276,16 @@ def _aggregate_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osas_spark.checks.reconcile import aggregate_reconciliation
 
     li = _t(spark, sf_dir, "lineitem")
+    from pyspark import StorageLevel
+
+    # the truth rollup feeds BOTH fixture branches (summary + fakes) —
+    # persist so the lineitem aggregation behind them runs once, not
+    # twice (the reconciliation's own recompute pass is separate by
+    # design: it must re-derive the rollup from the fact table)
     truth = li.groupBy("l_orderkey").agg(
         F.sum("l_quantity").alias("total_qty"),
         F.sum("l_extendedprice").alias("total_price"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     summary = truth.where(
         F.pmod(F.col("l_orderkey"), F.lit(101)) != 0
     ).select(

@@ -220,7 +220,16 @@ class TextCheck(Check):
         self._train_px = None
         self._fit_df = None
         toks = _tokens(F.col(self.field).cast("string"), self.mode)
-        unigrams = fan_out(df).select(F.explode(toks).alias("tok"))
+        # explode_outer + tok-not-null ≡ explode here (token arrays hold
+        # no null ELEMENTS; null/empty arrays yield exactly one null-tok
+        # row, which the filter drops) — plain explode makes
+        # InferFiltersFromGenerate push a size(<tokenize expr>)>0 filter
+        # to the scan, re-tokenizing every row a second time
+        unigrams = (
+            fan_out(df)
+            .select(F.explode_outer(toks).alias("tok"))
+            .where(F.col("tok").isNotNull())
+        )
         self._vocab = (
             unigrams.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))

@@ -58,6 +58,112 @@ def _char_shingles(c: F.Column, k: int, max_shingles: int = 2048) -> F.Column:
     return F.array_distinct(F.transform(starts, lambda i: c.substr(i, F.lit(k))))
 
 
+# ---- vectorized replica of Spark's xxhash64 over (long, int) inputs.
+# Spark's XxHash64 expression folds its children left to right starting
+# from seed 42: xxhash64(h, lit(i)) = hashInt(i, hashLong(h, 42)).
+# The XXH64 primes and the two fixed-width paths below mirror
+# org.apache.spark.sql.catalyst.expressions.XXH64 exactly; numpy uint64
+# arithmetic wraps mod 2^64 like Java longs, so the replica is
+# bit-identical (asserted by the JVM-parity test).
+_P64_1 = np.uint64(0x9E3779B185EBCA87)
+_P64_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P64_3 = np.uint64(0x165667B19E3779F9)
+_P64_4 = np.uint64(0x85EBCA77C2B2AE63)
+_P64_5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P64_2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P64_3
+    return h ^ (h >> np.uint64(32))
+
+
+def _xxh64_long(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    h = np.uint64(seed) + _P64_5 + np.uint64(8)
+    k1 = _rotl64(x * _P64_2, 31) * _P64_1
+    h = h ^ k1
+    return _xxh64_fmix(_rotl64(h, 27) * _P64_1 + _P64_4)
+
+
+def _xxh64_int(i: int, seed: np.ndarray) -> np.ndarray:
+    h = seed + _P64_5 + np.uint64(4)
+    h = h ^ (np.uint64(i & 0xFFFFFFFF) * _P64_1)
+    return _xxh64_fmix(_rotl64(h, 23) * _P64_2 + _P64_3)
+
+
+_minhash_kernels: dict = {}
+
+
+def _get_minhash_kernel(n_hashes: int):
+    """Arrow-batched permutation-minimum kernel: given each row's base
+    shingle hashes (array<long>), returns the n_hashes minhash values —
+    min over shingles of xxhash64(h, lit(perm)) — bit-identical to the
+    JVM array_min(transform(...)) formulation it replaces (parity
+    pytest). That formulation interpreted the xxhash64 lambda per
+    element: n_hashes x shingles evaluations per document was the
+    dominant stage of the whole minhash dedup; here the inner rehash is
+    ~10 vectorized uint64 ops over the batch's flattened shingle
+    stream per permutation, with np.minimum.reduceat folding per-row
+    minima."""
+    if n_hashes not in _minhash_kernels:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def minhash_rehash(bases: pd.Series) -> pd.Series:
+            arr = bases.to_numpy()
+            out: list = [None] * len(arr)
+            live = [i for i, v in enumerate(arr) if v is not None and len(v)]
+            empty = [i for i, v in enumerate(arr) if v is not None and not len(v)]
+            for i in empty:
+                out[i] = [None] * n_hashes  # array_min([]) is NULL per slot
+            if live:
+                lens = np.fromiter((len(arr[i]) for i in live), dtype=np.int64,
+                                   count=len(live))
+                flat = np.concatenate(
+                    [np.asarray(arr[i], dtype=np.int64) for i in live]
+                ).view(np.uint64)
+                starts = np.zeros(len(live), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                with np.errstate(over="ignore"):  # uint64 wrap is the point
+                    s = _xxh64_long(flat, np.uint64(42))
+                    sigs = np.empty((len(live), n_hashes), dtype=np.int64)
+                    for p in range(n_hashes):
+                        hp = _xxh64_int(p, s).view(np.int64)
+                        sigs[:, p] = np.minimum.reduceat(hp, starts)
+                for row, i in enumerate(live):
+                    out[i] = sigs[row].tolist()
+            return pd.Series(out, dtype="object")
+
+        _minhash_kernels[n_hashes] = minhash_rehash
+    return _minhash_kernels[n_hashes]
+
+
+def _minhash_sig_jvm_expr(base_col: F.Column, n_hashes: int) -> F.Column:
+    """The definitional pure-JVM signature (interpreted per-element
+    rehash) — retained ONLY as the independent oracle for the Arrow
+    kernel's parity test; production paths use _get_minhash_kernel.
+
+    NOTE: the seed closure MUST be a single-argument callable.
+    PySpark's transform() inspects the Python callable's arity, and
+    the `lambda h, i=i:` capture idiom reads as TWO parameters — the
+    "seed" silently binds to the ARRAY-POSITION lambda variable
+    instead of the captured int, collapsing all permutations into one
+    (caught by the exact-Jaccard ground-truth test)."""
+    def _rehash(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
+    return F.array(*[
+        F.array_min(F.transform(base_col, _rehash(i)))
+        for i in range(n_hashes)
+    ])
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -68,29 +174,17 @@ def minhash_signatures(
     """H-permutation minhash signature (array<bigint>) per row.
 
     Each shingle is string-hashed ONCE (xxhash64 over the variable-
-    length string); the H permutations re-hash the resulting 64-bit
-    value with a per-permutation seed — a single fixed-width hash round
-    each, far cheaper than H string hashes, and free of the ANSI
-    overflow semantics a multiply-add universal hash would trip.
-    Pure column expressions -> whole-stage codegen.
+    length string, JVM codegen); the H permutations re-hash the
+    resulting 64-bit value with a per-permutation seed through the
+    Arrow kernel above — bit-identical to the JVM formulation (parity
+    test), but vectorized instead of n_hashes x shingles interpreted
+    lambda evaluations per document.
     """
     shingles = _char_shingles(F.col(text_col), shingle_k)
     base = F.transform(shingles, lambda s: F.xxhash64(s))
 
-    # NOTE: the seed closure MUST be a single-argument callable.
-    # PySpark's transform() inspects the Python callable's arity, and
-    # the `lambda h, i=i:` capture idiom reads as TWO parameters — the
-    # "seed" silently binds to the ARRAY-POSITION lambda variable
-    # instead of the captured int, collapsing all permutations into one
-    # (caught by the exact-Jaccard ground-truth test).
-    def _rehash(seed: int):
-        return lambda h: F.xxhash64(h, F.lit(seed))
-
     with_base = df.withColumn("__mh_base", base)
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__mh_base"), _rehash(i)))
-        for i in range(n_hashes)
-    ])
+    sig = _get_minhash_kernel(n_hashes)(F.col("__mh_base"))
     return with_base.withColumn(sig_col, sig).drop("__mh_base")
 
 
@@ -324,7 +418,7 @@ def _get_simhash_kernel():
     This replaces an interpreted JVM formulation that rebuilt a
     64-element accumulator array (64 element_at + when terms) per token
     inside F.aggregate — the exact per-element-lambda cost measured ~7x
-    elsewhere (see _get_pair_cosine); on 100 TB token streams that
+    elsewhere (the pair-cosine rerank); on 100 TB token streams that
     interpreted loop dominates the whole dedup. numpy does the same
     majority as one (tokens x 64) matrix reduction per row. The JVM
     expression survives as _simhash64_jvm_expr for the parity test.
@@ -667,7 +761,7 @@ def _get_sign_buckets_kernel(n_planes: int, offsets: tuple[int, ...] = (0,)):
 
     Replaces per-row interpreted evaluation of n_planes (x n_tables)
     F.aggregate dot products — the same per-element-lambda cost class
-    measured ~7x-15x elsewhere (_get_pair_cosine, _get_simhash_kernel);
+    measured ~7x-15x elsewhere (pair-cosine rerank, _get_simhash_kernel);
     one (batch x dim) @ (dim x planes) matmul + a bit-pack per batch
     instead. The JVM expression (sign_bucket) survives as the
     definitional oracle for the parity test. Caveat shared by every
@@ -743,17 +837,26 @@ def embedding_near_duplicates(
     Quadratic guard, same contract as minhash: buckets larger than
     `max_bucket` (a tight embedding cluster puts C(n,2) pairs in one
     bucket) are dropped and EXPOSED via ``metrics["dropped_buckets"]``.
-    The heaviest stage is the in-bucket exact cosine; the quadratic
-    pair stream carries only ids + the bucket, vectors re-attach after
-    pair dedup (minhash's ids-only pattern).
+
+    The in-bucket exact cosine is a PER-BUCKET Arrow kernel
+    (applyInPandas over the bucket key): each bounded bucket's vectors
+    cross the Python boundary ONCE and candidate pairs are generated
+    and reranked inside the task, instead of exploding an ids-only pair
+    stream and re-attaching 2 x dim doubles per candidate — at the 10x
+    bench tier that attach moved ~3 GB through Arrow for 3M candidates
+    versus ~10 MB of vectors here. Per-task state is bounded by
+    C(max_bucket, 2) pair slots processed in fixed-size chunks. The
+    per-pair arithmetic — (a*b).sum / (nrm_a*nrm_b) over the JVM-
+    computed norms — is the same numpy expression the former per-pair
+    kernel used, so cosines are bit-identical.
     """
     from pyspark import StorageLevel
 
     from osas_spark.sources import fan_out
 
     # bucket bits cost n_planes dot products per row and feed several
-    # plan branches (native sizes, pair entries, vector re-attach) —
-    # persist once; the multiprobe explode is a cheap XOR view on top
+    # plan branches (native sizes, pair entries) — persist once; the
+    # multiprobe explode is a cheap XOR view on top
     df = fan_out(df)
     base = df.select(
         F.col(id_col), F.col(vec_col),
@@ -771,65 +874,68 @@ def embedding_near_duplicates(
     bucket_sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
     if metrics is not None:
         metrics["dropped_buckets"] = bucket_sizes.where(F.col("bs") > max_bucket)
-    entries = base.select(id_col, "bucket")
+    entries = base.select(id_col, vec_col, "nrm", "bucket")
     if probe_bits >= 1:
         probes = F.array(
             F.col("bucket"),
             *flipped_buckets(F.col("bucket"), list(range(n_planes))),
         )
-        # explode_outer: literal-sized probe array, never null/empty
-        entries = base.select(id_col, F.explode_outer(probes).alias("bucket"))
+        # explode_outer: literal-sized probe array, never null/empty;
+        # the vector rides the probe rows (bounded (n_planes+1)x blowup)
+        # so every bucket group is self-contained for the pair kernel
+        entries = base.select(
+            id_col, vec_col, "nrm", F.explode_outer(probes).alias("bucket")
+        )
     bounded = entries.join(
         bucket_sizes.where(F.col("bs") <= max_bucket), on="bucket"
+    ).select(
+        "bucket", F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "nrm"
     )
-    a = bounded.select("bucket", F.col(id_col).alias("id_a"))
-    b = bounded.select("bucket", F.col(id_col).alias("id_b"))
-    pairs = (
-        a.join(b, on="bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        if k < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": pdf["__id"].dtype, "id_b": pdf["__id"].dtype,
+                 "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("__id", kind="stable")
+        ids = pdf["__id"].to_numpy()
+        X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        iu0, iu1 = np.triu_indices(k, 1)
+        out_a, out_b, out_c = [], [], []
+        # fixed-size chunks bound the gathered operand memory to
+        # ~2 x chunk x dim doubles regardless of bucket size
+        chunk = 131_072
+        for s in range(0, len(iu0), chunk):
+            ia, ib = iu0[s:s + chunk], iu1[s:s + chunk]
+            # same expression as the former per-pair kernel -> cosines
+            # are bit-identical
+            cos = (X[ia] * X[ib]).sum(axis=1) / (nr[ia] * nr[ib])
+            keep = cos >= thr
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+            out_c.append(cos[keep])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    id_type = dict(df.dtypes)[id_col]
+    pairs = bounded.groupBy("bucket").applyInPandas(
+        _bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    vec_tbl = base.select(F.col(id_col), F.col(vec_col), F.col("nrm"))
-    pairs = pairs.join(
-        vec_tbl.withColumnsRenamed({id_col: "id_a", vec_col: "v_a", "nrm": "n_a"}),
-        on="id_a",
-    ).join(
-        vec_tbl.withColumnsRenamed({id_col: "id_b", vec_col: "v_b", "nrm": "n_b"}),
-        on="id_b",
-    )
-    # exact rerank via a VECTORIZED Arrow kernel: Spark's higher-order
-    # functions (zip_with/aggregate) interpret their lambda per element
-    # — on a million candidate pairs x 64 dims that is the whole
-    # runtime; numpy does the same dots as one batched matmul
-    # (measured ~7x on the sf0.1 fixture's clustered candidates)
-    cos = _get_pair_cosine()(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"))
+    # with multiprobe a pair can meet in several buckets — its cosine is
+    # identical in each, so a pair-keyed dedup keeps exactly one row;
+    # the threshold re-filter is a no-op guard mirroring the kernel's
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.dropDuplicates(["id_a", "id_b"])
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
 
-_pair_cosine_udf = None
-
-
-def _get_pair_cosine():
-    """Lazily-built vectorized cosine kernel (pandas_udf registration
-    parses its return-type DDL, which needs an active SparkSession —
-    so it cannot be created at import time)."""
-    global _pair_cosine_udf
-    if _pair_cosine_udf is None:
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def pair_cosine(va: pd.Series, vb: pd.Series,
-                        na: pd.Series, nb: pd.Series) -> pd.Series:
-            if len(va) == 0:
-                return pd.Series([], dtype="float64")
-            A = np.stack(va.to_numpy())
-            B = np.stack(vb.to_numpy())
-            return pd.Series((A * B).sum(axis=1) / (na.to_numpy() * nb.to_numpy()))
-
-        _pair_cosine_udf = pair_cosine
-    return _pair_cosine_udf

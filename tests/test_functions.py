@@ -424,6 +424,38 @@ def test_simhash_arrow_kernel_matches_jvm_expr(spark):
         assert r["simhash"] == r["jvm"], f"doc {r['doc_id']}: kernel != JVM"
 
 
+def test_minhash_arrow_kernel_matches_jvm_expr(spark):
+    """Bit-parity for the Arrow permutation-minimum kernel against the
+    retained pure-JVM array_min(transform(xxhash64)) formulation — the
+    kernel replaced it for speed, not semantics (the golden minhash
+    oracles depend on bit-identical signatures). Includes NULL, empty
+    and whitespace-only text edge rows."""
+    import os
+
+    from osas_spark.functions.dedup import (
+        _char_shingles, _get_minhash_kernel, _minhash_sig_jvm_expr,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(10**9, None), (10**9 + 1, ""), (10**9 + 2, "   ")],
+        "doc_id long, text string",
+    )
+    base = F.transform(_char_shingles(F.col("text"), 5), lambda s: F.xxhash64(s))
+    wb = docs.unionByName(extra).withColumn("__mh_base", base)
+    rows = wb.select(
+        "doc_id",
+        _get_minhash_kernel(32)(F.col("__mh_base")).alias("arrow"),
+        _minhash_sig_jvm_expr(F.col("__mh_base"), 32).alias("jvm"),
+    ).collect()
+    assert len(rows) > 3
+    for r in rows:
+        assert r["arrow"] == r["jvm"], f"doc {r['doc_id']}: kernel != JVM"
+
+
 def test_sign_bucket_arrow_kernel_matches_jvm_expr(spark):
     """Parity for the sign-LSH Arrow kernel against the definitional
     pure-JVM sign_bucket expression, across two tables (offset plane
