@@ -78,11 +78,17 @@ def categorical_drift(
     Returns (partition, chi2, dof, pvalue, drifted).
     """
     assert baseline in ("rest", "median")
+    from pyspark import StorageLevel
+
+    # the (partition, category) count table is grid-sized and feeds
+    # FOUR consumers (partition list, category list, the grid join and
+    # the rest-total collect) — persist it so the row-sized aggregation
+    # over df runs once, not once per branch
     counts = (
         df.where(F.col(cat_col).isNotNull())
         .groupBy(part_col, cat_col)
         .agg(F.count(F.lit(1)).alias("obs"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # dense grid: every (partition, category), zero-filled
     parts = counts.select(part_col).distinct()
     cats = counts.select(cat_col).distinct()
@@ -172,6 +178,10 @@ def numeric_drift_ks(
             F.lit(1.0).alias("threshold"), F.lit(False).alias("drifted"),
         )
     width = (hi - lo) / bins
+    from pyspark import StorageLevel
+
+    # grid-sized, three consumers (partition list, bin list, grid join)
+    # — persist so the row-sized binning aggregation runs once
     binned = (
         df.where(x.isNotNull())
         .select(
@@ -180,7 +190,7 @@ def numeric_drift_ks(
         )
         .groupBy(part_col, "bin")
         .agg(F.count(F.lit(1)).alias("obs"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     parts = binned.select(part_col).distinct()
     allbins = binned.select("bin").distinct()
     grid = parts.crossJoin(F.broadcast(allbins)).join(
@@ -240,6 +250,9 @@ def numeric_drift_psi(
             part_col, F.lit(0.0).alias("psi"), F.lit(False).alias("drifted")
         )
     width = (hi - lo) / bins
+    from pyspark import StorageLevel
+
+    # grid-sized, three consumers — persist (same reasoning as the KS path)
     binned = (
         df.where(x.isNotNull())
         .select(
@@ -248,7 +261,7 @@ def numeric_drift_psi(
         )
         .groupBy(part_col, "bin")
         .agg(F.count(F.lit(1)).alias("obs"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     parts = binned.select(part_col).distinct()
     allbins = binned.select("bin").distinct()
     grid = parts.crossJoin(F.broadcast(allbins)).join(

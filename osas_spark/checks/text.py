@@ -74,6 +74,10 @@ def _ngrams(tokens: F.Column, order: int) -> F.Column:
 class TextCheck(Check):
     """N-gram LM + perplexity bands over a text column."""
 
+    # fit-frame score reuse caches: pure optimization state — a restore
+    # recomputes perplexities from the declared vocab+model on demand
+    _rederivable_dfs = ("_train_px", "_fit_df")
+
     def __init__(
         self,
         field_name: str,

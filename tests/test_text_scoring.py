@@ -24,6 +24,37 @@ def test_text_check_flags_odd_document(spark):
     assert out[0][1] == "TEXT_TEXT_PERPLEXITY_NORMAL"
 
 
+def test_text_fit_frame_px_reuse_matches_recompute(spark):
+    """apply() on the exact frame the check was fitted on reuses the
+    persisted phase-1 perplexity scores (r06 optimization); the output
+    must be identical to apply() on a plan-fresh copy of the same data,
+    which takes the recompute path."""
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(20)] + [
+        (99, "zzz qqq vvv kkk www yyy xxx uuu ttt sss"),
+        (100, None),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    tc = TextCheck("text", id_cols=["doc_id"], mode="word",
+                   ngram_range=(2, 2)).fit(df)
+    assert tc._train_px is not None
+    fresh = spark.createDataFrame(rows, schema="doc_id long, text string")
+    assert fresh is not tc._fit_df
+    cols = ["doc_id", f"_{tc.name}_perplexity", tc.label_col]
+
+    def _rows(out):
+        return {
+            (r[0], r[1], tuple(r[2] or []))
+            for r in out.select(*cols).collect()
+        }
+
+    reused = _rows(tc.apply(df))
+    recomputed = _rows(tc.apply(fresh))
+    assert reused == recomputed
+    tc.unpersist()
+    assert tc._train_px is None
+
+
 def test_text_literal_vocab_path_no_shuffle(spark):
     """VERDICT r01 #7: with a small vocabulary the OOV->UNK map is one
     InSet F.transform — no posexplode/join/re-agg round trip. The
