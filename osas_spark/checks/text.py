@@ -158,11 +158,18 @@ class TextCheck(Check):
     def _load_vocab_list(self) -> None:
         """Materialize the literal-vocab fast path when the vocabulary
         is small enough to live in the plan; leaves the join fallback
-        in place otherwise. broadcast_if_small persists the vocab DF so
-        the probe and the collect share one materialization."""
-        _, small = broadcast_if_small(self._vocab, self.literal_vocab_max)
+        in place otherwise. ONE limit-collect decides AND loads: at
+        most literal_vocab_max+1 rows reach the driver, so a web-scale
+        vocabulary costs one bounded ramp instead of a full count job
+        followed by a second collect job (the former probe+collect
+        pair). The join fallback's own size gate still probes lazily
+        in _vocab_mapped when this path declines."""
+        rows = self._vocab.select("tok").limit(
+            self.literal_vocab_max + 1
+        ).collect()
         self._vocab_list = (
-            [r["tok"] for r in self._vocab.select("tok").collect()] if small else None
+            [r["tok"] for r in rows]
+            if len(rows) <= self.literal_vocab_max else None
         )
 
     def _all_ngrams(self, with_toks: DataFrame) -> DataFrame:

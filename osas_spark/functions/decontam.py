@@ -109,11 +109,17 @@ def decontaminate(
     e_sz = kept.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_sz"))
 
     c = _gram_stream(corpus, id_col, text_col, n, "doc_id")
-    eb, _ = broadcast_if_small(kept, persist=False)
+    eb, kept_small = broadcast_if_small(kept, persist=False)
     shared = c.join(eb, on="gram").groupBy("doc_id", "eval_id").agg(
         F.count(F.lit(1)).alias("shared")
     )
-    szb, _ = broadcast_if_small(e_sz, persist=False)
+    # e_sz has one row per eval item — a strict subset of the kept gram
+    # table's rows — so a broadcast-worthy kept table proves e_sz fits
+    # and the second probe job is redundant
+    if kept_small:
+        szb = F.broadcast(e_sz)
+    else:
+        szb, _ = broadcast_if_small(e_sz, persist=False)
     out = (
         shared.join(szb, on="eval_id")
         .withColumn("overlap", F.col("shared") / F.col("eval_sz"))
