@@ -648,19 +648,24 @@ def ngram_jaccard_pairs(
     ).collect()[0]["p"] or 0
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     pair_parts = max(sp, min(int(n_pairs // pair_rows_per_task) + 1, 65_536))
-    # two-level pair explode: first explode the anchor (i), THEN explode
-    # its tail slice — no single row ever materializes C(df, 2) structs
-    # (a gram at the df cap would otherwise build ~500k structs in one
-    # row: a skewed straggler task at scale); per-row width is bounded
-    # by max_doc_freq entries instead
+    # two-level pair explode: first posexplode the anchor (i), then
+    # posexplode the SAME array again and keep j > i — no single row
+    # ever materializes C(df, 2) structs (a gram at the df cap would
+    # otherwise build ~500k structs in one row: a skewed straggler task
+    # at scale); per-row width stays bounded by max_doc_freq entries.
+    # Deliberately NOT slice(docs, i+2, ...): the slice allocates a new
+    # tail array per anchor — O(df^2) struct copies per posting list —
+    # where the chained generators just re-iterate the same array
+    # (A/B on the 10x tier: 11.5s -> 8.5s for the full pair+agg phase)
     anchored = postings.select(
         "docs", F.posexplode("docs").alias("i", "a")
     )
     pair_stream = anchored.select(
+        "i",
         F.col("a.doc").alias("id_a"),
         F.col("a.sz").alias("sz_a"),
-        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
-    ).select(
+        F.posexplode("docs").alias("j", "b"),
+    ).where(F.col("j") > F.col("i")).select(
         "id_a", "sz_a", F.col("b.doc").alias("id_b"), F.col("b.sz").alias("sz_b")
     )
     if pair_parts > sp:
