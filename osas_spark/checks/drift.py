@@ -105,12 +105,19 @@ def categorical_drift(
             g.withColumn("cat_total", F.sum("obs").over(wc))
             .withColumn("rest_cat", F.col("cat_total") - F.col("obs"))
         )
-        total = g.select(F.sum("obs")).collect()[0][0] or 0
-        g = g.withColumn("rest_total", F.lit(total) - F.col("part_total"))
+        # grand total as a broadcast 1-row cross join instead of a
+        # mid-plan blocking collect: same value (the grid's zero-fill
+        # adds nothing to the sum over counts; empty input coalesces to
+        # 0 like the old `or 0`), one less driver round-trip
+        tot = counts.agg(
+            F.coalesce(F.sum("obs"), F.lit(0)).alias("__tot")
+        )
+        g = g.crossJoin(F.broadcast(tot))
+        g = g.withColumn("rest_total", F.col("__tot") - F.col("part_total"))
         g = g.withColumn(
             "expected",
             F.col("rest_cat") / F.col("rest_total") * F.col("part_total"),
-        )
+        ).drop("__tot")
     else:
         # median-of-other-partitions proportion per category
         g = g.withColumn(
