@@ -88,7 +88,6 @@ def main() -> None:
                 print(f"{name}\trep{r}\t{dt:.3f}s\t{n} rows", flush=True)
     elif cmd == "plans":
         os.makedirs(out_dir, exist_ok=True)
-        suffix = sys.argv[0] and ""
         for name in names:
             df = qs[name](spark, sf)
             plan = df._sc._jvm.PythonSQLUtils.explainString(

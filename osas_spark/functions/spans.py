@@ -283,8 +283,15 @@ def duplicated_spans(
     occurring >= min_count times — the inspection/blocklist surface
     (raw span strings; for the per-doc score at scale prefer
     duplicated_span_stats(hash_spans=True))."""
-    occ = df.select(
-        F.col(id_col), F.explode(_span_occurrences(text_col, k)).alias("span")
+    from osas_spark.sources import fan_out
+
+    occ = fan_out(df.select(id_col, text_col)).withColumn(
+        "__toks", _tokens(text_col)
+    ).select(
+        F.col(id_col),
+        # explode_outer: >= 1 span always; suppresses the inferred
+        # re-evaluating size()>0 scan filter (see duplicated_span_stats)
+        F.explode_outer(_spans_from_tokens(F.col("__toks"), k)).alias("span"),
     )
     return (
         occ.groupBy("span")
